@@ -1,0 +1,192 @@
+"""Typed configuration tree for the whole framework.
+
+The reference scatters its configuration over three mechanisms: global
+threshold variables (reference `include/Miscellaneous.h:51-76`), compile-time
+#defines (`include/Frame360.h:40-41`), and mrpt INI files for the plane-matcher
+constraints (`config_files/configLocaliser_sphericalOdometry.ini`).  Here all
+of it is a single immutable dataclass tree whose defaults reproduce the
+reference behavior; instances are hashable so they can be passed as static
+arguments to jitted functions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class RigConfig:
+    """Geometry of the 8-sensor ring rig (reference `include/Calib360.h`)."""
+
+    num_sensors: int = 8
+    # QVGA per-sensor resolution; images are stored 240 rows x 320 cols.
+    width: int = 320
+    height: int = 240
+    # Pinhole intrinsics for QVGA (reference `include/Calib360.h:75-77`).
+    fx: float = 262.5
+    fy: float = 262.5
+    cx: float = 159.5
+    cy: float = 119.5
+    # Valid depth gate in meters (reference `OpenNI2_Grabber/FrameRGBD/CloudRGBD_Ext.h`).
+    min_depth: float = 0.3
+    max_depth: float = 10.0
+
+
+@dataclass(frozen=True)
+class SphereConfig:
+    """Spherical image layout (reference `include/Frame360.h:391-394`).
+
+    width = 8 * sensor_rows = 1920; height = width * 0.5 * 60/180 = 320.
+    Row r maps to elevation phi = (height/2 - 0.5 - r) * (2*pi/width); column c
+    maps to azimuth theta = c * (2*pi/width).  The unit ray for (phi, theta) is
+    (sin(phi), -cos(phi)*sin(theta), -cos(phi)*cos(theta)) (reference
+    `include/Frame360.h:589-593`).
+    """
+
+    width: int = 1920
+    height: int = 320
+
+
+@dataclass(frozen=True)
+class DenseRegConfig:
+    """Dense spherical photo+depth alignment (reference `include/RegisterPhotoICP.h`)."""
+
+    pyramid_levels: int = 5
+    max_iters_per_level: int = 10
+    tol_update: float = 1e-4
+    tol_residual: float = 1e-3
+    # Photometric / depth noise models (reference `RegisterPhotoICP.h:125-131`:
+    # stdDevPhoto defaults 3/255 as set by the SLAM apps, stdDevDepth=0.01).
+    std_photo: float = 3.0 / 255.0
+    std_depth: float = 0.01
+    # Saliency gates on target gradients (reference `RegisterPhotoICP.h:149-151`).
+    sal_intensity: float = 0.04
+    sal_depth: float = 0.04
+    min_depth: float = 0.3
+    max_depth: float = 20.0
+    # Width of the masked seam at each sensor boundary, in pixels at full res
+    # (reference `RegisterPhotoICP.h:4537-4549` zeroes 2 columns per seam).
+    seam_mask_px: int = 2
+
+
+@dataclass(frozen=True)
+class SegmentationConfig:
+    """Organized multi-plane segmentation (reference `include/Frame360.h:942-977`)."""
+
+    min_inliers: int = 80
+    angular_threshold: float = 0.039812  # rad, ~3 deg cone for region growing
+    distance_threshold: float = 0.02  # m, point-to-plane gate
+    max_curvature: float = 0.0013  # reference `include/Miscellaneous.h:54`
+    min_area: float = 0.12  # reference `include/Miscellaneous.h:57`
+    max_elongation: float = 6.0  # reference `include/Miscellaneous.h:60`
+    normal_smoothing_size: int = 8
+    max_depth_change: float = 0.02
+    # Fixed capacity of the padded plane set per frame / per sensor.
+    max_planes: int = 32
+    max_planes_sensor: int = 16
+    # Iterations of connected-component label propagation (power-of-two hops).
+    cc_iters: int = 24
+    # Number of hull directions for the polygonal contour approximation.
+    hull_dirs: int = 16
+    # Cross-sensor grouping gates (reference `include/Frame360.h:747-748`).
+    group_max_dist_hull: float = 0.5
+    group_max_dist_parallel: float = 0.09
+    # Same-frame merge gates (reference `include/Frame360.h:671-701`).
+    merge_normal_dot: float = 0.99
+    merge_dist_d: float = 0.45
+    merge_max_dist_hull: float = 0.3
+    merge_max_dist_parallel: float = 0.06
+
+
+@dataclass(frozen=True)
+class MatcherConfig:
+    """Plane-graph matching constraints.
+
+    Defaults follow the interpretation-tree thresholds in the reference
+    `config_files/configLocaliser_sphericalOdometry.ini:9-36`; the matcher
+    itself is re-designed as masked exhaustive consistency scoring (see
+    `registration/planes.py`) rather than a recursive tree.
+    """
+
+    min_planes_recognition: int = 3
+    # Unary constraints
+    unary_dist_d: float = 0.5
+    unary_angle_deg: float = 50.0
+    hue_threshold: float = 0.35
+    area_threshold: float = 3.0  # ratio gate between matched plane areas
+    elongation_threshold: float = 2.5
+    # Binary constraints
+    binary_dist_threshold: float = 3.0
+    binary_angle_threshold_deg: float = 10.0
+    height_threshold: float = 0.33
+    cos_normal_threshold: float = 0.985
+    # Capacity of the match set (reference `include/Miscellaneous.h:51`).
+    max_match_planes: int = 25
+    # Greedy consistency-expansion rounds.
+    max_matches: int = 25
+
+
+@dataclass(frozen=True)
+class KeyframeConfig:
+    """Keyframe selection / odometry policy (reference `SLAM/KFsphere_SLAM.cpp`)."""
+
+    min_dist_keyframes: float = 0.2  # `include/Miscellaneous.h:66`
+    max_translation_odometry: float = 1.8  # `include/Miscellaneous.h:69`
+    max_rotation_odometry: float = 1.2  # `include/Miscellaneous.h:72`
+    select_kf_icp_dist: float = 0.9  # depth-residual gate `KFsphere_SLAM.cpp:284`
+    connection_radius: float = 2.5  # neighbor KF search `KFsphere_SLAM.cpp:286`
+    max_connection_residual: float = 1.8
+    min_matches_fastpath: int = 6
+    min_area_fastpath: float = 12.0
+
+
+@dataclass(frozen=True)
+class LoopClosureConfig:
+    """Loop closure search (reference `include/LoopClosure360.h:114-126,289-322`)."""
+
+    search_radius: float = 5.0
+    min_matches: int = 5
+    min_area: float = 15.0
+    max_depth_residual: float = 2.0
+
+
+@dataclass(frozen=True)
+class MapConfig:
+    """Fixed capacities for the jittable map state."""
+
+    max_keyframes: int = 512
+    max_edges: int = 4096
+    max_areas: int = 64
+    # Topological partitioning (reference `include/TopologicalMap360.h:411`).
+    sso_partition_threshold: float = 0.8
+    partition_every_n_kf: int = 4
+
+
+@dataclass(frozen=True)
+class GraphConfig:
+    """Pose-graph optimization (reference `include/GraphOptimizer.h:66-71,196`)."""
+
+    max_iters: int = 10
+    lm_lambda0: float = 1e-5
+    lm_step: float = 10.0
+
+
+@dataclass(frozen=True)
+class FrameworkConfig:
+    rig: RigConfig = dataclasses.field(default_factory=RigConfig)
+    sphere: SphereConfig = dataclasses.field(default_factory=SphereConfig)
+    dense: DenseRegConfig = dataclasses.field(default_factory=DenseRegConfig)
+    seg: SegmentationConfig = dataclasses.field(default_factory=SegmentationConfig)
+    matcher: MatcherConfig = dataclasses.field(default_factory=MatcherConfig)
+    kf: KeyframeConfig = dataclasses.field(default_factory=KeyframeConfig)
+    lc: LoopClosureConfig = dataclasses.field(default_factory=LoopClosureConfig)
+    map: MapConfig = dataclasses.field(default_factory=MapConfig)
+    graph: GraphConfig = dataclasses.field(default_factory=GraphConfig)
+
+    def replace(self, **kw) -> "FrameworkConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def default_config() -> FrameworkConfig:
+    return FrameworkConfig()

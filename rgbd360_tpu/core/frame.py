@@ -1,0 +1,207 @@
+"""The central spherical frame data structure and its build pipeline.
+
+TPU-native equivalent of the reference `Frame360` (reference
+`include/Frame360.h`): a raw rig capture (8 RGB-D images) becomes
+
+  * undistorted per-sensor depth          (Frame360::undistort,        :293)
+  * stitched spherical RGB / gray / depth (Frame360::stitchSphericalImage, :386)
+  * per-sensor organized point clouds in the rig frame and the concatenated
+    spherical cloud                        (Frame360::buildSphereCloud, :467)
+
+Everything is a pytree of fixed-shape arrays; `FrameBuilder.build` is one
+jitted function whose per-sensor fan-out (OpenMP `num_threads(8)` in the
+reference) is expressed as a leading sensor axis that XLA vectorizes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from rgbd360_tpu.config import FrameworkConfig, default_config
+from rgbd360_tpu.io.calib import Calibration
+from rgbd360_tpu.ops import camera, stitch as stitch_ops, undistort as undistort_ops
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class RigFrame:
+    """Raw rig capture on device.
+
+    rgb:   (S, H, W, 3) float32 (BGR, 0..255 as captured).
+    depth: (S, H, W) float32 meters, 0 = invalid.
+    """
+
+    rgb: jnp.ndarray
+    depth: jnp.ndarray
+
+    @staticmethod
+    def from_raw(raw) -> "RigFrame":
+        return RigFrame(
+            rgb=jnp.asarray(raw.rgb, dtype=jnp.float32),
+            depth=jnp.asarray(raw.depth_mm, dtype=jnp.float32) * 0.001,
+        )
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class SphereFrame:
+    """Built spherical frame.
+
+    sphere_rgb:   (Hs, Ws, 3) float32 BGR 0..255.
+    sphere_gray:  (Hs, Ws) float32 in [0, 1].
+    sphere_depth: (Hs, Ws) float32 radial meters, 0 = invalid.
+    cloud_xyz:    (S, Hc, Wc, 3) float32 — per-sensor organized clouds in the
+                  rig frame (2x downsampled when cfg dictates).
+    cloud_rgb:    (S, Hc, Wc, 3) float32.
+    cloud_valid:  (S, Hc, Wc) bool.
+    local_xyz:    (S, Hc, Wc, 3) float32 — same clouds in each sensor frame
+                  (used by plane segmentation before transforming to rig).
+    """
+
+    sphere_rgb: jnp.ndarray
+    sphere_gray: jnp.ndarray
+    sphere_depth: jnp.ndarray
+    cloud_xyz: jnp.ndarray
+    cloud_rgb: jnp.ndarray
+    cloud_valid: jnp.ndarray
+    local_xyz: jnp.ndarray
+
+
+def downsample2_depth(depth: jnp.ndarray) -> jnp.ndarray:
+    """2x nearest downsample of depth, keeping valid-aware averaging.
+
+    The reference's `DownsampleRGBD::downsamplePointCloud` picks every other
+    pixel; valid-mean preserves more data on TPU at no cost.
+    """
+    h2, w2 = depth.shape[-2] // 2, depth.shape[-1] // 2
+    d = depth[..., : h2 * 2, : w2 * 2].reshape(*depth.shape[:-2], h2, 2, w2, 2)
+    valid = d > 0
+    s = jnp.sum(jnp.where(valid, d, 0.0), axis=(-3, -1))
+    n = jnp.sum(valid, axis=(-3, -1))
+    return jnp.where(n > 0, s / jnp.maximum(n, 1), 0.0)
+
+
+def downsample2_rgb(rgb: jnp.ndarray) -> jnp.ndarray:
+    h2, w2 = rgb.shape[-3] // 2, rgb.shape[-2] // 2
+    r = rgb[..., : h2 * 2, : w2 * 2, :]
+    r = r.reshape(*rgb.shape[:-3], h2, 2, w2, 2, 3)
+    return jnp.mean(r, axis=(-4, -2))
+
+
+class FrameBuilder:
+    """Builds SphereFrames from raw rig captures for a fixed calibration.
+
+    Precomputes the stitch gather maps once (they depend only on calibration),
+    then `build` is a single jitted program.
+    """
+
+    def __init__(
+        self,
+        calib: Calibration,
+        config: FrameworkConfig | None = None,
+        downsample_cloud: bool = True,
+    ):
+        self.config = config or default_config()
+        self.downsample_cloud = downsample_cloud
+        rig = self.config.rig
+        sph = self.config.sphere
+        self.rt = jnp.asarray(calib.rt)
+        self.k = jnp.asarray(calib.k)
+        self.maps = stitch_ops.compute_stitch_maps(
+            jnp.asarray(calib.rt_inv), self.k, sph.height, sph.width, rig.height, rig.width
+        )
+        if calib.clams_multipliers is not None:
+            self.clams = (
+                jnp.asarray(calib.clams_multipliers),
+                jnp.asarray(calib.clams_counts),
+                calib.clams_bin_width,
+                calib.clams_bin_height,
+                calib.clams_bin_depth,
+            )
+        else:
+            self.clams = None
+        # Calibration tensors are passed as jit *arguments* (not closure
+        # constants) so XLA does not constant-fold the big gather maps.
+        self._params = dict(
+            sensor=self.maps.sensor,
+            u=self.maps.u,
+            v=self.maps.v,
+            scale=self.maps.scale,
+            valid=self.maps.valid,
+            rt=self.rt,
+            k=self.k,
+        )
+        if self.clams is not None:
+            self._params["clams_mult"] = self.clams[0]
+            self._params["clams_counts"] = self.clams[1]
+        self._build = jax.jit(self._build_impl)
+
+    # -------------------------------------------------------------- stages
+
+    def undistort(self, frame: RigFrame) -> RigFrame:
+        """Apply CLAMS depth undistortion (reference `Frame360::undistort:293`)."""
+        if self.clams is None:
+            return frame
+        mult, counts, bw, bh, bd = self.clams
+        depth = undistort_ops.undistort_depth(frame.depth, mult, counts, bw, bh, bd)
+        return RigFrame(rgb=frame.rgb, depth=depth)
+
+    def _build_impl(self, params, rgb: jnp.ndarray, depth_raw: jnp.ndarray) -> SphereFrame:
+        # 1. undistort depth
+        if self.clams is not None:
+            _, _, bw, bh, bd = self.clams
+            depth = undistort_ops.undistort_depth(
+                depth_raw, params["clams_mult"], params["clams_counts"], bw, bh, bd
+            )
+        else:
+            depth = depth_raw
+
+        # 2. stitch spherical images
+        maps = stitch_ops.StitchMaps(
+            sensor=params["sensor"],
+            u=params["u"],
+            v=params["v"],
+            scale=params["scale"],
+            valid=params["valid"],
+        )
+        sphere_rgb, sphere_depth = stitch_ops.stitch(maps, rgb, depth)
+        sphere_gray = stitch_ops.rgb_to_gray(sphere_rgb)
+
+        # 3. per-sensor clouds (2x downsampled like DOWNSAMPLE_160) in the
+        #    sensor frame, then rig frame.
+        if self.downsample_cloud:
+            d_small = downsample2_depth(depth)
+            rgb_small = downsample2_rgb(rgb)
+            k_small = params["k"].at[:2, :].multiply(0.5)
+            # principal point shifts under 2x decimation: (c - 0.25) ~ c/2
+        else:
+            d_small, rgb_small, k_small = depth, rgb, params["k"]
+
+        rig = self.config.rig
+        valid = (d_small > rig.min_depth) & (d_small < rig.max_depth)
+        d_gated = jnp.where(valid, d_small, 0.0)
+        local_xyz = camera.pinhole_backproject(d_gated, k_small)  # (S, h, w, 3)
+        r = params["rt"][:, :3, :3]
+        t = params["rt"][:, :3, 3]
+        cloud_xyz = jnp.einsum("sij,shwj->shwi", r, local_xyz) + t[:, None, None, :]
+        cloud_xyz = jnp.where(valid[..., None], cloud_xyz, jnp.nan)
+
+        return SphereFrame(
+            sphere_rgb=sphere_rgb,
+            sphere_gray=sphere_gray,
+            sphere_depth=sphere_depth,
+            cloud_xyz=cloud_xyz,
+            cloud_rgb=rgb_small,
+            cloud_valid=valid,
+            local_xyz=local_xyz,
+        )
+
+    def build(self, frame: RigFrame) -> SphereFrame:
+        return self._build(self._params, frame.rgb, frame.depth)
+
+    def build_from_raw(self, raw) -> SphereFrame:
+        return self.build(RigFrame.from_raw(raw))

@@ -1,0 +1,15 @@
+from rgbd360_tpu.io.bin_format import read_rig_frame, write_rig_frame, RawRigFrame
+from rgbd360_tpu.io.clams import load_clams_model, ClamsModel
+from rgbd360_tpu.io.calib import load_calibration, Calibration
+from rgbd360_tpu.io.dataset import SequenceDataset
+
+__all__ = [
+    "read_rig_frame",
+    "write_rig_frame",
+    "RawRigFrame",
+    "load_clams_model",
+    "ClamsModel",
+    "load_calibration",
+    "Calibration",
+    "SequenceDataset",
+]

@@ -1,0 +1,89 @@
+"""Sequence dataset over `sphere_images_*.bin` captures.
+
+Replaces the reference's sensor-grabber + file-walk loops (e.g.
+`SLAM/SphereGraphSLAM.cpp:150` iterates `fexists(path/sphere_images_%d.bin)`)
+with an indexable dataset that decodes frames — via the native C++ loader when
+built (native/loader.cpp), else the pure-Python parser — and optionally
+prefetches decode work on a background thread so host I/O overlaps TPU compute.
+"""
+
+from __future__ import annotations
+
+import re
+import threading
+import queue
+from pathlib import Path
+from typing import Iterator
+
+import numpy as np
+
+from rgbd360_tpu.io.bin_format import RawRigFrame, read_rig_frame
+
+try:  # native fast decode path (built from native/loader.cpp)
+    from rgbd360_tpu.io import _native_loader  # type: ignore
+
+    _HAVE_NATIVE = True
+except ImportError:
+    _HAVE_NATIVE = False
+
+
+def _decode(path: Path) -> RawRigFrame:
+    if _HAVE_NATIVE:
+        rgb, depth, ts = _native_loader.read_rig_frame(str(path))
+        return RawRigFrame(rgb=rgb, depth_mm=depth, timestamp=ts)
+    return read_rig_frame(path)
+
+
+class SequenceDataset:
+    """Ordered collection of rig frames in a directory.
+
+    Frames are discovered by the reference naming scheme
+    `sphere_images_<idx>.bin` and ordered by index.
+    """
+
+    _PAT = re.compile(r"sphere_images_(\d+)\.bin$")
+
+    def __init__(self, root: str | Path, prefetch: int = 2):
+        self.root = Path(root)
+        found = []
+        for p in sorted(self.root.glob("sphere_images_*.bin")):
+            m = self._PAT.search(p.name)
+            if m:
+                found.append((int(m.group(1)), p))
+        found.sort()
+        self.indices = [i for i, _ in found]
+        self.paths = [p for _, p in found]
+        self.prefetch = prefetch
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+    def __getitem__(self, i: int) -> RawRigFrame:
+        return _decode(self.paths[i])
+
+    def __iter__(self) -> Iterator[RawRigFrame]:
+        if self.prefetch <= 0 or len(self) <= 1:
+            for p in self.paths:
+                yield _decode(p)
+            return
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def worker():
+            try:
+                for p in self.paths:
+                    q.put(_decode(p))
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+
+    @staticmethod
+    def have_native_loader() -> bool:
+        return _HAVE_NATIVE

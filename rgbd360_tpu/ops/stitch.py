@@ -1,0 +1,159 @@
+"""Spherical stitching of the 8 sensor images.
+
+The reference's `Frame360::stitchImage` (reference `include/Frame360.h:1099-1146`)
+walks every sphere pixel in a sensor's column span, casts its ray into the
+sensor through the inverse extrinsic, pinhole-projects, and copies the nearest
+RGB/depth sample — scaling depth by the radial factor so the sphere stores ray
+length, not z-depth.
+
+TPU-first design: the pixel->sample mapping depends only on the calibration,
+so it is computed once as dense gather maps (sensor id, source pixel, radial
+scale, validity) and every subsequent stitch is a single fused gather over the
+stacked (S, H, W) sensor tensors — no per-pixel control flow.
+
+The sphere image is W = 8 * sensor_rows columns wide and
+H = W * 0.5 * 60/180 rows high (reference `include/Frame360.h:391-394`).
+Unlike the reference — which hard-assigns sensor s to the fixed column block
+[(7-s)*rows, (8-s)*rows) in a sphere frame rotated 1799.5 px in theta (the
+"157.5 deg rotOffset" wart, see `SLAM/KFsphere_SLAM.cpp:290`) — this build
+uses ONE canonical sphere frame (theta = col * 2*pi/W) and assigns each pixel
+to the sensor that actually sees its ray best (max cosine to the optical
+axis among in-bounds projections), so stitching stays correct for any
+calibration and no frame-conversion rotation leaks into the SLAM layers.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from rgbd360_tpu.ops import camera
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class StitchMaps:
+    """Precomputed gather maps from sphere pixels to sensor samples.
+
+    sensor: (H, W) int32 — owning sensor per sphere column.
+    u, v:   (H, W) int32 — nearest source pixel (truncated, like cv::Mat::at).
+    scale:  (H, W) float32 — z-depth -> ray-length factor at the *continuous*
+            source coordinates (reference `include/Frame360.h:1142`).
+    valid:  (H, W) bool — projection landed inside the source image.
+    """
+
+    sensor: jnp.ndarray
+    u: jnp.ndarray
+    v: jnp.ndarray
+    scale: jnp.ndarray
+    valid: jnp.ndarray
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def compute_stitch_maps(
+    rt_inv: jnp.ndarray,
+    k: jnp.ndarray,
+    sphere_h: int,
+    sphere_w: int,
+    sensor_h: int,
+    sensor_w: int,
+) -> StitchMaps:
+    """Build the gather maps for a given calibration.
+
+    rt_inv: (S, 4, 4) rig->sensor transforms; k: (3, 3) pinhole intrinsics.
+    """
+    rays = camera.sphere_rays(sphere_h, sphere_w)  # (H, W, 3)
+
+    # Project the unit virtual point of every ray into every sensor (the
+    # reference also treats the ray as a point at distance 1 and includes the
+    # extrinsic translation, `include/Frame360.h:1128`).
+    r_inv = rt_inv[:, :3, :3]  # (S, 3, 3)
+    t_inv = rt_inv[:, :3, 3]  # (S, 3)
+    p = jnp.einsum("sij,hwj->shwi", r_inv, rays) + t_inv[:, None, None, :]
+
+    z = p[..., 2]
+    zs = jnp.where(jnp.abs(z) > 1e-9, z, 1e-9)
+    u_f = k[0, 0] * p[..., 0] / zs + k[0, 2]
+    v_f = k[1, 1] * p[..., 1] / zs + k[1, 2]
+
+    in_bounds = (
+        (z > 1e-6) & (u_f >= 0) & (u_f < sensor_w) & (v_f >= 0) & (v_f < sensor_h)
+    )
+    # Pick the sensor that sees the ray most head-on.
+    score = jnp.where(in_bounds, z / jnp.linalg.norm(p, axis=-1), -jnp.inf)
+    sensor = jnp.argmax(score, axis=0).astype(jnp.int32)  # (H, W)
+
+    def pick(a):
+        return jnp.take_along_axis(a, sensor[None], axis=0)[0]
+
+    u_sel, v_sel, valid = pick(u_f), pick(v_f), pick(in_bounds)
+    u_i = jnp.clip(u_sel.astype(jnp.int32), 0, sensor_w - 1)
+    v_i = jnp.clip(v_sel.astype(jnp.int32), 0, sensor_h - 1)
+
+    xn = (u_sel - k[0, 2]) / k[0, 0]
+    yn = (v_sel - k[1, 2]) / k[1, 1]
+    scale = jnp.sqrt(1.0 + xn * xn + yn * yn)
+
+    return StitchMaps(
+        sensor=sensor, u=u_i, v=v_i, scale=scale.astype(jnp.float32), valid=valid
+    )
+
+
+def seam_mask_from_maps(maps: StitchMaps, half_width: int = 1) -> jnp.ndarray:
+    """(H, W) bool mask, True where gradients are trustworthy — i.e. away
+    from sensor hand-off seams, where per-camera auto-shutter creates fake
+    gradients (the reason the reference zeroes 2 columns per seam at
+    `include/RegisterPhotoICP.h:4537-4549`)."""
+    s = maps.sensor
+    seam = jnp.zeros(s.shape, dtype=bool)
+    for d in range(1, half_width + 1):
+        seam |= s != jnp.roll(s, d, axis=1)
+        seam |= s != jnp.roll(s, -d, axis=1)
+    return ~seam
+
+
+def stitch(
+    maps: StitchMaps, rgb: jnp.ndarray, depth: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Gather the spherical RGB and radial-depth images.
+
+    rgb:   (S, H, W, 3) any dtype; depth: (S, H, W) float32 meters.
+    Returns (sphere_rgb (H', W', 3) same dtype as float32, sphere_depth (H', W')).
+    """
+    s, v, u = maps.sensor, maps.v, maps.u
+    rgb_out = rgb[s, v, u].astype(jnp.float32)
+    d = depth[s, v, u]
+    depth_out = jnp.where(maps.valid & (d > 0), d * maps.scale, 0.0)
+    rgb_out = jnp.where(maps.valid[..., None], rgb_out, 0.0)
+    return rgb_out, depth_out
+
+
+stitch_jit = jax.jit(stitch)
+
+
+def fast_stitch(rgb: jnp.ndarray) -> jnp.ndarray:
+    """Concatenation-only stitch (reference `Frame360::fastStitchImage360`,
+    `include/Frame360.h:348-383`): rotate each sensor image 90 deg CCW
+    (transpose + vertical flip) and place sensor (7-s) at column block s."""
+    num_sensors = rgb.shape[0]
+    blocks = []
+    for s in range(num_sensors):
+        img = rgb[num_sensors - 1 - s]
+        rot = jnp.flip(jnp.swapaxes(img, 0, 1), axis=0)
+        blocks.append(rot)
+    return jnp.concatenate(blocks, axis=1)
+
+
+def rgb_to_gray(rgb: jnp.ndarray) -> jnp.ndarray:
+    """BGR (capture order) -> normalized gray in [0, 1], float32.
+
+    Uses OpenCV's BGR2GRAY weights so intensities match the reference's
+    `FrameRGBD::getIntensityImage` conversion.
+    """
+    b = rgb[..., 0].astype(jnp.float32)
+    g = rgb[..., 1].astype(jnp.float32)
+    r = rgb[..., 2].astype(jnp.float32)
+    return (0.114 * b + 0.587 * g + 0.299 * r) * (1.0 / 255.0)

@@ -1,0 +1,69 @@
+"""CLAMS depth undistortion as a vectorized gather + interpolate + multiply.
+
+Reproduces `DiscreteFrustum::interpolatedUndistort` (reference
+`OpenNI2_Grabber/third_party/CLAMS/discrete_depth_distortion_model.cpp:49-69`)
+over whole images at once: each pixel belongs to a static frustum (bin grid),
+its depth selects (dynamically) one or two depth bins, and the depth is scaled
+by the (optionally interpolated) multiplier.  Bins with fewer than 50 training
+examples fall back to the nearest single-bin multiplier, exactly as the
+reference does.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_MIN_COUNT = 50.0
+
+
+def undistort_depth(
+    depth: jnp.ndarray,
+    multipliers: jnp.ndarray,
+    counts: jnp.ndarray,
+    bin_width: int,
+    bin_height: int,
+    bin_depth: float,
+) -> jnp.ndarray:
+    """Undistort depth maps.
+
+    depth: (..., H, W) float32 meters, 0 = invalid.
+    multipliers/counts: (..., nby, nbx, nbins) aligned with depth's batch axes.
+    Returns corrected depth, same shape; invalid pixels pass through as 0.
+    """
+    h, w = depth.shape[-2], depth.shape[-1]
+    nbins = multipliers.shape[-1]
+
+    yb = (jnp.arange(h) // bin_height).astype(jnp.int32)
+    xb = (jnp.arange(w) // bin_width).astype(jnp.int32)
+    # Static gather: per-pixel multiplier/count vectors (..., H, W, nbins).
+    m_img = multipliers[..., yb[:, None], xb[None, :], :]
+    c_img = counts[..., yb[:, None], xb[None, :], :]
+
+    z = depth
+    idx = jnp.minimum(nbins - 1, jnp.floor(z / bin_depth).astype(jnp.int32))
+    start = bin_depth * idx.astype(z.dtype)
+    idx1 = jnp.where(z - start < 0.5 * bin_depth, idx, idx + 1)
+    idx0 = idx1 - 1
+
+    def take(a, i):
+        return jnp.take_along_axis(
+            a, jnp.clip(i, 0, nbins - 1)[..., None], axis=-1
+        )[..., 0]
+
+    m_near = take(m_img, idx)
+    m0 = take(m_img, idx0)
+    m1 = take(m_img, idx1)
+    c0 = take(c_img, idx0)
+    c1 = take(c_img, idx1)
+
+    z0 = idx1.astype(z.dtype) * bin_depth - 0.5 * bin_depth
+    coeff1 = (z - z0) / bin_depth
+    m_interp = (1.0 - coeff1) * m0 + coeff1 * m1
+
+    fallback = (idx0 < 0) | (idx1 >= nbins) | (c0 < _MIN_COUNT) | (c1 < _MIN_COUNT)
+    mult = jnp.where(fallback, m_near, m_interp)
+    return jnp.where(z > 0, z * mult, z)
+
+
+undistort_depth_jit = jax.jit(undistort_depth, static_argnums=(3, 4, 5))

@@ -1,0 +1,400 @@
+"""Dense direct spherical RGB-D alignment (photo + depth consistency).
+
+TPU-native re-design of the reference's `RegisterPhotoICP` spherical path
+(reference `include/RegisterPhotoICP.h`): coarse-to-fine Gauss-Newton over a
+pyramid of spherical gray/depth images, minimizing Huber-weighted photometric
+and depth residuals.  Semantics kept for parity (so results are comparable):
+
+* residuals:  photo  r_p = I_trg(warp(p)) - I_src(p)                (`:2700`)
+              depth  r_d = D_trg(warp(p)) - |T p|                   (`:2727`)
+* weights:    w_p = huber(r_p, s_photo)/s_photo                     (`:2705`)
+              w_d = huber(r_d, s_depth*D_trg)/(s_depth*D_trg)       (`:2731`)
+* jacobians:  J_T = [I | -skew(T p)] (3x6), J_proj (2x3) of the
+              (col, row) spherical projection, chained with the target's
+              occlusion-aware image gradients; depth adds -p^T/|p| J_T
+              (`:2995-3084`)
+* driver:     5 levels, <=10 GN iterations each, accept a step only if the
+              mean residual drops by tol; ill-posed Hessian aborts
+              (`alignFrames360:4519-4780`)
+* outputs:    relative pose, 6x6 Hessian (information matrix), SSO
+              co-visibility ratio = visible/total (`:3226`), av. photo/depth
+              residuals (`:759-762`), per-level iteration counts.
+
+TPU mapping: every per-pixel OpenMP loop becomes whole-image array code; the
+6x6 Hessian accumulation is a (6, N) x (N, 6) matmul that XLA tiles onto the
+MXU; the per-level iteration is a `lax.while_loop` so one jit covers the whole
+alignment.  The warp is a dynamic gather, which TPU handles natively.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from rgbd360_tpu.config import DenseRegConfig
+from rgbd360_tpu.ops import camera, pyramid as pyr_ops, se3
+
+PHOTO_CONSISTENCY = 0
+DEPTH_CONSISTENCY = 1
+PHOTO_DEPTH = 2
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class FramePyramid:
+    """Multi-scale spherical frame: tuples (level 0 = full res) of
+    gray (H, W), depth (H, W), and the four gradient images used by the
+    residual model.  Gradients are pre-masked at sensor seams."""
+
+    gray: tuple
+    depth: tuple
+    gray_gx: tuple
+    gray_gy: tuple
+    depth_gx: tuple
+    depth_gy: tuple
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class AlignResult:
+    pose: jnp.ndarray  # (4, 4) relative pose source -> target frame
+    hessian: jnp.ndarray  # (6, 6) information matrix at the solution
+    error: jnp.ndarray  # final mean residual at level 0
+    av_photo_residual: jnp.ndarray
+    av_depth_residual: jnp.ndarray
+    sso: jnp.ndarray  # co-visibility ratio
+    iters: jnp.ndarray  # (levels,) iterations used per level
+    ill_posed: jnp.ndarray  # bool
+
+
+def build_frame_pyramid(
+    gray: jnp.ndarray,
+    depth: jnp.ndarray,
+    cfg: DenseRegConfig = DenseRegConfig(),
+    seam_valid: jnp.ndarray | None = None,
+    num_sensors: int = 8,
+) -> FramePyramid:
+    """Build the alignment pyramid for one spherical frame.
+
+    seam_valid: optional (H, W) bool mask of trustworthy pixels (False at
+    sensor seams); if None, uniform seam columns are masked like the
+    reference (`RegisterPhotoICP.h:4537-4549`).
+    """
+    grays = pyr_ops.build_pyramid(gray, cfg.pyramid_levels)
+    depths = pyr_ops.build_depth_pyramid(
+        depth, cfg.pyramid_levels, cfg.min_depth, cfg.max_depth
+    )
+    ggx, ggy, dgx, dgy = [], [], [], []
+    for lvl in range(cfg.pyramid_levels):
+        gx, gy = pyr_ops.gradient_xy(grays[lvl])
+        hx, hy = pyr_ops.gradient_xy(depths[lvl])
+        if seam_valid is not None:
+            m = seam_valid[:: 2**lvl, :: 2**lvl].astype(gx.dtype)
+            m = m[: gx.shape[0], : gx.shape[1]]
+            gx, gy, hx, hy = gx * m, gy * m, hx * m, hy * m
+        else:
+            gx = pyr_ops.mask_seams(gx, num_sensors, max(1, cfg.seam_mask_px // 2))
+            gy = pyr_ops.mask_seams(gy, num_sensors, max(1, cfg.seam_mask_px // 2))
+            hx = pyr_ops.mask_seams(hx, num_sensors, max(1, cfg.seam_mask_px // 2))
+            hy = pyr_ops.mask_seams(hy, num_sensors, max(1, cfg.seam_mask_px // 2))
+        ggx.append(gx)
+        ggy.append(gy)
+        dgx.append(hx)
+        dgy.append(hy)
+    return FramePyramid(
+        gray=tuple(grays),
+        depth=tuple(depths),
+        gray_gx=tuple(ggx),
+        gray_gy=tuple(ggy),
+        depth_gx=tuple(dgx),
+        depth_gy=tuple(dgy),
+    )
+
+
+# ------------------------------------------------------------------ kernels
+
+
+def _warp_terms(pose, src_depth, cfg):
+    """Transform all source points and project to target pixel grid.
+
+    Returns dict of flattened per-pixel terms shared by residual/Hessian.
+    """
+    h, w = src_depth.shape
+    pts = camera.sphere_backproject(src_depth)  # (H, W, 3)
+    valid_src = (src_depth > cfg.min_depth) & (src_depth < cfg.max_depth)
+
+    r3 = pose[:3, :3]
+    t3 = pose[:3, 3]
+    tp = pts @ r3.T + t3  # (H, W, 3) transformed points
+    rc, rho = camera.sphere_project(tp, h, w)
+    r_i = jnp.round(rc[..., 0]).astype(jnp.int32)
+    c_i = jnp.round(rc[..., 1]).astype(jnp.int32) % w
+    inb = (r_i >= 0) & (r_i < h) & valid_src
+    r_s = jnp.clip(r_i, 0, h - 1)
+    return dict(tp=tp, rho=rho, r=r_s, c=c_i, visible=inb, valid_src=valid_src)
+
+
+def _huber(err, scale):
+    """Huber weight (reference `RegisterPhotoICP.h:weightHuber:545`)."""
+    a = jnp.abs(err)
+    w = jnp.sqrt(jnp.clip(2.0 * scale * a - scale * scale, 0.0, None)) / jnp.maximum(
+        a, 1e-12
+    )
+    return jnp.where(a < scale, 1.0, w)
+
+
+def _residual_terms(level_src, level_trg, pose, cfg, method):
+    """Per-pixel weighted residuals + masks for one pyramid level."""
+    src_gray, src_depth = level_src["gray"], level_src["depth"]
+    wt = _warp_terms(pose, src_depth, cfg)
+    r, c = wt["r"], wt["c"]
+
+    out = dict(visible=wt["visible"], tp=wt["tp"], rho=wt["rho"])
+    if method in (PHOTO_CONSISTENCY, PHOTO_DEPTH):
+        gx = level_trg["gray_gx"][r, c]
+        gy = level_trg["gray_gy"][r, c]
+        salient = (jnp.abs(gx) >= cfg.sal_intensity) | (jnp.abs(gy) >= cfg.sal_intensity)
+        diff = level_trg["gray"][r, c] - src_gray
+        w_p = _huber(diff, cfg.std_photo) / cfg.std_photo
+        m = wt["visible"] & salient
+        out.update(
+            photo_res=jnp.where(m, w_p * diff, 0.0),
+            photo_w=jnp.where(m, w_p, 0.0),
+            photo_mask=m,
+            photo_gx=gx,
+            photo_gy=gy,
+        )
+    if method in (DEPTH_CONSISTENCY, PHOTO_DEPTH):
+        d2 = level_trg["depth"][r, c]
+        dgx = level_trg["depth_gx"][r, c]
+        dgy = level_trg["depth_gy"][r, c]
+        salient = (jnp.abs(dgx) >= cfg.sal_depth) | (jnp.abs(dgy) >= cfg.sal_depth)
+        has_d = d2 > 0
+        diff = d2 - wt["rho"]
+        s = cfg.std_depth * jnp.maximum(d2, 1e-3)
+        w_d = _huber(diff, s) / s
+        m = wt["visible"] & salient & has_d
+        out.update(
+            depth_res=jnp.where(m, w_d * diff, 0.0),
+            depth_w=jnp.where(m, w_d, 0.0),
+            depth_mask=m,
+            depth_gx=dgx,
+            depth_gy=dgy,
+        )
+    return out
+
+
+def _mean_error(level_src, level_trg, pose, cfg, method):
+    """sqrt(sum(weighted residual^2)/n) (reference `errorPhotoICP_sphere:2545`)."""
+    t = _residual_terms(level_src, level_trg, pose, cfg, method)
+    err2 = 0.0
+    n = 0
+    if "photo_res" in t:
+        err2 = err2 + jnp.sum(t["photo_res"] ** 2)
+        n = n + jnp.sum(t["photo_mask"])
+    if "depth_res" in t:
+        err2 = err2 + jnp.sum(t["depth_res"] ** 2)
+        n = n + jnp.sum(t["depth_mask"])
+    return jnp.sqrt(err2 / jnp.maximum(n, 1))
+
+
+def _proj_jacobian(tp, w):
+    """J of (col, row) wrt the 3D point (reference `:3001-3020`).
+
+    Returns (..., 2, 3): row 0 = d(col)/dp, row 1 = d(row)/dp.
+    """
+    res_inv = w / (2.0 * jnp.pi)
+    x, y, z = tp[..., 0], tp[..., 1], tp[..., 2]
+    rho2 = x * x + y * y + z * z
+    rho = jnp.sqrt(jnp.maximum(rho2, 1e-12))
+    rho_inv = 1.0 / rho
+    z_s = jnp.where(jnp.abs(z) > 1e-9, z, 1e-9)
+    z_inv = 1.0 / z_s
+    d_atan = res_inv / (1.0 + (y * z_inv) ** 2)
+    j00 = jnp.zeros_like(x)
+    j01 = d_atan * z_inv
+    j02 = -y * z_inv * z_inv * d_atan
+    x_r2 = x / jnp.maximum(rho2, 1e-12)
+    d_asin = res_inv / jnp.sqrt(jnp.clip(1.0 - x * x_r2, 1e-9, None))
+    j10 = -d_asin * rho_inv * (1.0 - x * x_r2)
+    j11 = d_asin * x_r2 * y * rho_inv
+    j12 = d_asin * x_r2 * z * rho_inv
+    return jnp.stack(
+        [jnp.stack([j00, j01, j02], -1), jnp.stack([j10, j11, j12], -1)], axis=-2
+    )
+
+
+def _hess_grad(level_src, level_trg, pose, cfg, method):
+    """Assemble the 6x6 normal equations for one GN iteration."""
+    t = _residual_terms(level_src, level_trg, pose, cfg, method)
+    tp = t["tp"]
+    h, w = level_src["depth"].shape
+
+    jproj = _proj_jacobian(tp, w)  # (H, W, 2, 3)
+    # J_T = [I | -skew(tp)]; chain directly instead of materializing (3, 6):
+    # for a row vector a (1x3): a @ J_T = [a | -a x tp ... ] — cross products.
+    def chain(a):  # a: (H, W, 3) -> (H, W, 6)
+        lin = a
+        ang = -jnp.cross(a, tp)  # a @ (-skew(tp)) = -(a x tp)... see below
+        return jnp.concatenate([lin, ang], axis=-1)
+
+    # a @ (-skew(p)) = -(a^T skew(p))^T = (p x a) — verify: (skew(p) v = p x v);
+    # row-vector times matrix: a_j (-skew(p))_{jk} = -(a x p)_k = (p x a)_k.
+    def chain_row(a):
+        return jnp.concatenate([a, jnp.cross(tp, a)], axis=-1)
+
+    del chain
+
+    hess = jnp.zeros((6, 6))
+    grad = jnp.zeros((6,))
+    stats = {}
+
+    if "photo_res" in t:
+        g2 = jnp.stack([t["photo_gx"], t["photo_gy"]], axis=-1)  # (H, W, 2)
+        a = jnp.einsum("hwk,hwkj->hwj", g2, jproj)  # (H, W, 3)
+        jac = chain_row(a) * t["photo_w"][..., None]  # (H, W, 6)
+        jac = jnp.where(t["photo_mask"][..., None], jac, 0.0)
+        jf = jac.reshape(-1, 6)
+        rf = t["photo_res"].reshape(-1)
+        hess = hess + jf.T @ jf
+        grad = grad + jf.T @ rf
+        stats["photo_sq"] = jnp.sum(rf * rf)
+        stats["photo_n"] = jnp.sum(t["photo_mask"])
+    if "depth_res" in t:
+        g2 = jnp.stack([t["depth_gx"], t["depth_gy"]], axis=-1)
+        a = jnp.einsum("hwk,hwkj->hwj", g2, jproj)
+        rho_inv = 1.0 / jnp.maximum(t["rho"], 1e-9)
+        a = a - tp * rho_inv[..., None]  # -d|p|/dp term (reference `:3082`)
+        jac = chain_row(a) * t["depth_w"][..., None]
+        jac = jnp.where(t["depth_mask"][..., None], jac, 0.0)
+        jf = jac.reshape(-1, 6)
+        rf = t["depth_res"].reshape(-1)
+        hess = hess + jf.T @ jf
+        grad = grad + jf.T @ rf
+        stats["depth_sq"] = jnp.sum(rf * rf)
+        stats["depth_n"] = jnp.sum(t["depth_mask"])
+
+    stats["visible"] = jnp.sum(t["visible"])
+    return hess, grad, stats
+
+
+# ------------------------------------------------------------------ driver
+
+
+class DenseAligner:
+    """Coarse-to-fine spherical alignment engine.
+
+    Equivalent of one `RegisterPhotoICP` instance driving `alignFrames360`.
+    The whole multi-level optimization is one jitted function per (shape,
+    method) pair.
+    """
+
+    def __init__(self, cfg: DenseRegConfig = DenseRegConfig()):
+        self.cfg = cfg
+        self._align = jax.jit(self._align_impl, static_argnames=("method",))
+
+    def align(
+        self,
+        src: FramePyramid,
+        trg: FramePyramid,
+        init_pose: jnp.ndarray | None = None,
+        method: int = PHOTO_DEPTH,
+    ) -> AlignResult:
+        if init_pose is None:
+            init_pose = jnp.eye(4)
+        return self._align(src, trg, init_pose, method=method)
+
+    # implementation
+
+    def _level_dicts(self, pyr: FramePyramid, lvl: int):
+        return dict(
+            gray=pyr.gray[lvl],
+            depth=pyr.depth[lvl],
+            gray_gx=pyr.gray_gx[lvl],
+            gray_gy=pyr.gray_gy[lvl],
+            depth_gx=pyr.depth_gx[lvl],
+            depth_gy=pyr.depth_gy[lvl],
+        )
+
+    def _align_impl(self, src, trg, init_pose, method):
+        cfg = self.cfg
+        pose = init_pose
+        iters = []
+        ill = jnp.array(False)
+        err = jnp.array(0.0)
+        hess_out = jnp.zeros((6, 6))
+        sso = jnp.array(0.0)
+
+        for lvl in reversed(range(cfg.pyramid_levels)):
+            lsrc = self._level_dicts(src, lvl)
+            ltrg = self._level_dicts(trg, lvl)
+
+            err0 = _mean_error(lsrc, ltrg, pose, cfg, method)
+
+            def cond(carry):
+                pose, err, it, upd, diff, ill_l = carry
+                return (
+                    (it < cfg.max_iters_per_level)
+                    & (upd > cfg.tol_update)
+                    & (diff > cfg.tol_residual)
+                    & ~ill_l
+                )
+
+            def body(carry):
+                pose, err, it, upd, diff, ill_l = carry
+                hess, grad, _ = _hess_grad(lsrc, ltrg, pose, cfg, method)
+                # Observability guard (reference `:4682-4690`).
+                bad = (jnp.linalg.det(hess) < 1e-12) | ~jnp.all(jnp.isfinite(hess))
+                hsafe = jnp.where(bad, jnp.eye(6), hess)
+                update = -jnp.linalg.solve(hsafe, grad)
+                new_pose = se3.se3_exp(update) @ pose
+                new_err = _mean_error(lsrc, ltrg, new_pose, cfg, method)
+                improved = (err - new_err) > cfg.tol_residual
+                pose = jnp.where(improved & ~bad, new_pose, pose)
+                err_next = jnp.where(improved & ~bad, new_err, err)
+                it = it + jnp.where(improved & ~bad, 1, 0)
+                diff_next = jnp.where(bad, 0.0, err - new_err)
+                upd_next = jnp.linalg.norm(update)
+                return (pose, err_next, it, upd_next, diff_next, ill_l | bad)
+
+            carry = (pose, err0, jnp.array(0), jnp.array(1.0), jnp.array(1.0), ill)
+            pose, err, n_it, _, _, ill = jax.lax.while_loop(cond, body, carry)
+            iters.append(n_it)
+
+        # Final statistics at level 0 (Hessian = information matrix, SSO,
+        # average residuals; reference `:759-762`, `:3226`).
+        lsrc = self._level_dicts(src, 0)
+        ltrg = self._level_dicts(trg, 0)
+        hess_out, _, stats = _hess_grad(lsrc, ltrg, pose, cfg, method)
+        size = lsrc["depth"].size
+        sso = stats["visible"] / size
+        av_photo = jnp.sqrt(
+            stats.get("photo_sq", jnp.array(0.0))
+            / jnp.maximum(stats.get("photo_n", jnp.array(1)), 1)
+        )
+        av_depth = jnp.sqrt(
+            stats.get("depth_sq", jnp.array(0.0))
+            / jnp.maximum(stats.get("depth_n", jnp.array(1)), 1)
+        )
+
+        return AlignResult(
+            pose=pose,
+            hessian=hess_out,
+            error=err,
+            av_photo_residual=av_photo,
+            av_depth_residual=av_depth,
+            sso=sso,
+            iters=jnp.stack(iters[::-1]),
+            ill_posed=ill,
+        )
+
+
+def entropy_from_hessian(hess: jnp.ndarray) -> jnp.ndarray:
+    """Differential entropy of the pose estimate (Kerl IROS'13; reference
+    `RegisterPhotoICP::calcEntropy` / `RegisterRGBD360.h:230`)."""
+    sign, logdet = jnp.linalg.slogdet(jnp.linalg.inv(hess))
+    dof = 6.0
+    return 0.5 * (dof * (1.0 + jnp.log(2.0 * jnp.pi)) + logdet)

@@ -1,0 +1,85 @@
+"""Frame build pipeline tests on the bundled reference samples."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rgbd360_tpu.core.frame import FrameBuilder, RigFrame
+from rgbd360_tpu.io.bin_format import read_rig_frame
+from rgbd360_tpu.ops import stitch as stitch_ops
+
+
+@pytest.fixture(scope="module")
+def builder(calibration):
+    return FrameBuilder(calibration)
+
+
+@pytest.fixture(scope="module")
+def sphere_frame(builder, sample_paths):
+    raw = read_rig_frame(sample_paths[0])
+    return builder.build_from_raw(raw)
+
+
+def test_sphere_shapes(sphere_frame):
+    f = sphere_frame
+    assert f.sphere_rgb.shape == (320, 1920, 3)
+    assert f.sphere_depth.shape == (320, 1920)
+    assert f.sphere_gray.shape == (320, 1920)
+    assert f.cloud_xyz.shape == (8, 120, 160, 3)
+
+
+def test_sphere_coverage(sphere_frame):
+    # Most of the sphere should be covered by the 8 sensors (the ring has
+    # full 360-deg azimuth coverage and ~50-deg vertical FOV vs the 60-deg
+    # sphere crop, so expect high but not full coverage).
+    rgb_filled = np.mean(np.asarray(sphere_frame.sphere_rgb).sum(-1) > 0)
+    assert rgb_filled > 0.65, f"rgb coverage {rgb_filled}"
+    d = np.asarray(sphere_frame.sphere_depth)
+    depth_filled = np.mean(d > 0)
+    assert depth_filled > 0.4, f"depth coverage {depth_filled}"
+    valid = d[d > 0]
+    assert 0.5 < np.median(valid) < 8.0
+
+
+def test_sphere_depth_is_radial(builder, sample_paths):
+    # Backprojecting the sphere depth must land points at distance == depth.
+    from rgbd360_tpu.ops import camera
+
+    raw = read_rig_frame(sample_paths[0])
+    f = builder.build_from_raw(raw)
+    pts = camera.sphere_backproject(f.sphere_depth)
+    rho = np.linalg.norm(np.asarray(pts), axis=-1)
+    d = np.asarray(f.sphere_depth)
+    np.testing.assert_allclose(rho[d > 0], d[d > 0], rtol=1e-5)
+
+
+def test_cloud_consistent_with_sphere(sphere_frame):
+    # Cloud points (rig frame) should have ranges in the same ballpark as the
+    # stitched sphere depth distribution.
+    xyz = np.asarray(sphere_frame.cloud_xyz)
+    valid = np.asarray(sphere_frame.cloud_valid)
+    r = np.linalg.norm(xyz[valid], axis=-1)
+    d = np.asarray(sphere_frame.sphere_depth)
+    d = d[d > 0]
+    assert abs(np.median(r) - np.median(d)) < 0.5
+
+
+def test_gray_range(sphere_frame):
+    g = np.asarray(sphere_frame.sphere_gray)
+    assert g.min() >= 0.0 and g.max() <= 1.0
+    assert g.std() > 0.02  # non-trivial texture
+
+
+def test_fast_stitch(sample_paths):
+    raw = read_rig_frame(sample_paths[0])
+    out = stitch_ops.fast_stitch(jnp.asarray(raw.rgb))
+    assert out.shape == (320, 1920, 3)
+
+
+def test_build_deterministic(builder, sample_paths):
+    raw = read_rig_frame(sample_paths[0])
+    f1 = builder.build_from_raw(raw)
+    f2 = builder.build_from_raw(raw)
+    np.testing.assert_array_equal(
+        np.asarray(f1.sphere_depth), np.asarray(f2.sphere_depth)
+    )
