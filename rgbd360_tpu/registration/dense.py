@@ -117,15 +117,32 @@ def build_frame_pyramid(
 # ------------------------------------------------------------------ kernels
 
 
-def _warp_terms(pose, src_depth, cfg):
-    """Transform all source points and project to target pixel grid.
+def _pack_target(level_trg):
+    """Stack the six target channels so each GN sweep does ONE gather of a
+    contiguous 6-vector per pixel instead of six scattered gathers."""
+    return jnp.stack(
+        [
+            level_trg["gray"],
+            level_trg["depth"],
+            level_trg["gray_gx"],
+            level_trg["gray_gy"],
+            level_trg["depth_gx"],
+            level_trg["depth_gy"],
+        ],
+        axis=-1,
+    )
 
-    Returns dict of flattened per-pixel terms shared by residual/Hessian.
-    """
-    h, w = src_depth.shape
-    pts = camera.sphere_backproject(src_depth)  # (H, W, 3)
+
+def _src_points(src_depth, cfg):
+    """Pose-invariant source terms, hoisted out of the GN loop (the
+    reference's LUT_xyz_sphere, `RegisterPhotoICP.h:4553-4587`)."""
+    pts = camera.sphere_backproject(src_depth)
     valid_src = (src_depth > cfg.min_depth) & (src_depth < cfg.max_depth)
+    return pts, valid_src
 
+
+def _warp_terms(pose, pts, valid_src, h, w):
+    """Transform all source points and project to the target pixel grid."""
     r3 = pose[:3, :3]
     t3 = pose[:3, 3]
     tp = pts @ r3.T + t3  # (H, W, 3) transformed points
@@ -146,18 +163,18 @@ def _huber(err, scale):
     return jnp.where(a < scale, 1.0, w)
 
 
-def _residual_terms(level_src, level_trg, pose, cfg, method):
+def _residual_terms(src_gray, pts, valid_src, trg_pack, pose, cfg, method):
     """Per-pixel weighted residuals + masks for one pyramid level."""
-    src_gray, src_depth = level_src["gray"], level_src["depth"]
-    wt = _warp_terms(pose, src_depth, cfg)
+    h, w = src_gray.shape
+    wt = _warp_terms(pose, pts, valid_src, h, w)
     r, c = wt["r"], wt["c"]
+    tv = trg_pack[r, c]  # (H, W, 6): one gather for all target channels
 
     out = dict(visible=wt["visible"], tp=wt["tp"], rho=wt["rho"])
     if method in (PHOTO_CONSISTENCY, PHOTO_DEPTH):
-        gx = level_trg["gray_gx"][r, c]
-        gy = level_trg["gray_gy"][r, c]
+        gx, gy = tv[..., 2], tv[..., 3]
         salient = (jnp.abs(gx) >= cfg.sal_intensity) | (jnp.abs(gy) >= cfg.sal_intensity)
-        diff = level_trg["gray"][r, c] - src_gray
+        diff = tv[..., 0] - src_gray
         w_p = _huber(diff, cfg.std_photo) / cfg.std_photo
         m = wt["visible"] & salient
         out.update(
@@ -168,9 +185,7 @@ def _residual_terms(level_src, level_trg, pose, cfg, method):
             photo_gy=gy,
         )
     if method in (DEPTH_CONSISTENCY, PHOTO_DEPTH):
-        d2 = level_trg["depth"][r, c]
-        dgx = level_trg["depth_gx"][r, c]
-        dgy = level_trg["depth_gy"][r, c]
+        d2, dgx, dgy = tv[..., 1], tv[..., 4], tv[..., 5]
         salient = (jnp.abs(dgx) >= cfg.sal_depth) | (jnp.abs(dgy) >= cfg.sal_depth)
         has_d = d2 > 0
         diff = d2 - wt["rho"]
@@ -189,7 +204,10 @@ def _residual_terms(level_src, level_trg, pose, cfg, method):
 
 def _mean_error(level_src, level_trg, pose, cfg, method):
     """sqrt(sum(weighted residual^2)/n) (reference `errorPhotoICP_sphere:2545`)."""
-    t = _residual_terms(level_src, level_trg, pose, cfg, method)
+    pts, valid_src = _src_points(level_src["depth"], cfg)
+    t = _residual_terms(
+        level_src["gray"], pts, valid_src, _pack_target(level_trg), pose, cfg, method
+    )
     err2 = 0.0
     n = 0
     if "photo_res" in t:
@@ -228,10 +246,18 @@ def _proj_jacobian(tp, w):
 
 
 def _hess_grad(level_src, level_trg, pose, cfg, method):
+    """Assemble the 6x6 normal equations (wrapper building hoistable terms)."""
+    pts, valid_src = _src_points(level_src["depth"], cfg)
+    return _hess_grad_packed(
+        level_src["gray"], pts, valid_src, _pack_target(level_trg), pose, cfg, method
+    )
+
+
+def _hess_grad_packed(src_gray, pts, valid_src, trg_pack, pose, cfg, method):
     """Assemble the 6x6 normal equations for one GN iteration."""
-    t = _residual_terms(level_src, level_trg, pose, cfg, method)
+    t = _residual_terms(src_gray, pts, valid_src, trg_pack, pose, cfg, method)
     tp = t["tp"]
-    h, w = level_src["depth"].shape
+    h, w = src_gray.shape
 
     jproj = _proj_jacobian(tp, w)  # (H, W, 2, 3)
     # J_T = [I | -skew(tp)]; chain directly instead of materializing (3, 6):
@@ -278,6 +304,11 @@ def _hess_grad(level_src, level_trg, pose, cfg, method):
         stats["depth_n"] = jnp.sum(t["depth_mask"])
 
     stats["visible"] = jnp.sum(t["visible"])
+    # Mean weighted residual, same normalization as _mean_error, so the
+    # H/g/error triple comes out of ONE pixel sweep.
+    err2 = stats.get("photo_sq", 0.0) + stats.get("depth_sq", 0.0)
+    n = stats.get("photo_n", 0) + stats.get("depth_n", 0)
+    stats["mean_err"] = jnp.sqrt(err2 / jnp.maximum(n, 1))
     return hess, grad, stats
 
 
@@ -331,11 +362,16 @@ class DenseAligner:
         for lvl in reversed(range(cfg.pyramid_levels)):
             lsrc = self._level_dicts(src, lvl)
             ltrg = self._level_dicts(trg, lvl)
+            src_gray = lsrc["gray"]
+            pts, valid_src = _src_points(lsrc["depth"], cfg)
+            trg_pack = _pack_target(ltrg)
 
-            err0 = _mean_error(lsrc, ltrg, pose, cfg, method)
-
+            # One fused sweep per iteration: evaluate (H, g, err) at the
+            # candidate pose; if it improved on the best-so-far, accept and
+            # step, else terminate (reference semantics: a rejected step sets
+            # diff_error <= tol which exits the loop, `:4715-4722`).
             def cond(carry):
-                pose, err, it, upd, diff, ill_l = carry
+                cand, best, err_best, it, upd, diff, ill_l = carry
                 return (
                     (it < cfg.max_iters_per_level)
                     & (upd > cfg.tol_update)
@@ -344,25 +380,44 @@ class DenseAligner:
                 )
 
             def body(carry):
-                pose, err, it, upd, diff, ill_l = carry
-                hess, grad, _ = _hess_grad(lsrc, ltrg, pose, cfg, method)
+                cand, best, err_best, it, upd, diff, ill_l = carry
+                hess, grad, stats = _hess_grad_packed(
+                    src_gray, pts, valid_src, trg_pack, cand, cfg, method
+                )
+                err = stats["mean_err"]
                 # Observability guard (reference `:4682-4690`).
                 bad = (jnp.linalg.det(hess) < 1e-12) | ~jnp.all(jnp.isfinite(hess))
                 hsafe = jnp.where(bad, jnp.eye(6), hess)
                 update = -jnp.linalg.solve(hsafe, grad)
-                new_pose = se3.se3_exp(update) @ pose
-                new_err = _mean_error(lsrc, ltrg, new_pose, cfg, method)
-                improved = (err - new_err) > cfg.tol_residual
-                pose = jnp.where(improved & ~bad, new_pose, pose)
-                err_next = jnp.where(improved & ~bad, new_err, err)
-                it = it + jnp.where(improved & ~bad, 1, 0)
-                diff_next = jnp.where(bad, 0.0, err - new_err)
-                upd_next = jnp.linalg.norm(update)
-                return (pose, err_next, it, upd_next, diff_next, ill_l | bad)
+                improved = (err_best - err) > cfg.tol_residual
+                accept = improved & ~bad
+                best_next = jnp.where(accept, cand, best)
+                err_next = jnp.where(accept, err, err_best)
+                next_cand = se3.se3_exp(update) @ cand
+                cand_next = jnp.where(accept, next_cand, best_next)
+                it = it + jnp.where(accept, 1, 0)
+                diff_next = jnp.where(bad, 0.0, err_best - err)
+                return (
+                    cand_next,
+                    best_next,
+                    err_next,
+                    it,
+                    jnp.linalg.norm(update),
+                    diff_next,
+                    ill_l | bad,
+                )
 
-            carry = (pose, err0, jnp.array(0), jnp.array(1.0), jnp.array(1.0), ill)
-            pose, err, n_it, _, _, ill = jax.lax.while_loop(cond, body, carry)
-            iters.append(n_it)
+            carry = (
+                pose,
+                pose,
+                jnp.array(jnp.inf),
+                jnp.array(-1),
+                jnp.array(1.0),
+                jnp.array(1.0),
+                ill,
+            )
+            _, pose, err, n_it, _, _, ill = jax.lax.while_loop(cond, body, carry)
+            iters.append(jnp.maximum(n_it, 0))
 
         # Final statistics at level 0 (Hessian = information matrix, SSO,
         # average residuals; reference `:759-762`, `:3226`).
