@@ -1,0 +1,74 @@
+"""Benchmark: full spherical registration pipeline throughput on one chip.
+
+Measures the end-to-end per-frame cost of the flagship pipeline — raw rig
+capture -> undistort -> stitch -> pyramids -> dense spherical photo+depth
+alignment against a reference frame — on the default JAX platform (the real
+TPU chip under the driver).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference is CPU-only C++/OpenMP with no published numbers and
+un-buildable deps (PCL/MRPT/g2o) in this image, so the recorded baseline is
+the same pipeline measured on this host's CPU via JAX CPU (see BASELINE.md
+"measured" section): 2.04 frames/s.  vs_baseline = TPU fps / CPU fps.
+"""
+
+import json
+import time
+
+import jax
+
+REF_CPU_FPS = 2.04  # measured on this host, see BASELINE.md
+
+
+def main() -> None:
+    from rgbd360_tpu.config import DenseRegConfig
+    from rgbd360_tpu.core.frame import FrameBuilder
+    from rgbd360_tpu.io.bin_format import read_rig_frame
+    from rgbd360_tpu.io.calib import load_calibration
+    from rgbd360_tpu.ops import stitch as stitch_ops
+    from rgbd360_tpu.registration import dense as D
+
+    calib = load_calibration(
+        "/root/reference/Calibration/Extrinsics",
+        "/root/reference/Calibration/Intrinsics",
+    )
+    builder = FrameBuilder(calib)
+    raw1 = read_rig_frame("/root/reference/samples/sphere_images_1.bin")
+    raw2 = read_rig_frame("/root/reference/samples/sphere_images_10.bin")
+    cfg = DenseRegConfig()
+    seam = stitch_ops.seam_mask_from_maps(builder.maps, 1)
+    pyr = jax.jit(lambda g, d: D.build_frame_pyramid(g, d, cfg, seam))
+    aligner = D.DenseAligner(cfg)
+
+    f2 = builder.build_from_raw(raw2)
+    p2 = pyr(f2.sphere_gray, f2.sphere_depth)
+
+    # warm-up / compile
+    f1 = builder.build_from_raw(raw1)
+    res = aligner.align(pyr(f1.sphere_gray, f1.sphere_depth), p2, method=D.PHOTO_DEPTH)
+    jax.block_until_ready(res.pose)
+
+    n = 20
+    t0 = time.time()
+    for i in range(n):
+        f = builder.build_from_raw(raw1 if i % 2 else raw2)
+        p = pyr(f.sphere_gray, f.sphere_depth)
+        res = aligner.align(p, p2, method=D.PHOTO_DEPTH)
+    jax.block_until_ready(res.pose)
+    fps = n / (time.time() - t0)
+
+    print(
+        json.dumps(
+            {
+                "metric": "registration_pipeline_fps",
+                "value": round(fps, 3),
+                "unit": "frames/sec/chip",
+                "vs_baseline": round(fps / REF_CPU_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
