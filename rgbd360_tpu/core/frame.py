@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from rgbd360_tpu.config import FrameworkConfig, default_config
 from rgbd360_tpu.io.calib import Calibration
 from rgbd360_tpu.ops import camera, stitch as stitch_ops, undistort as undistort_ops
+from rgbd360_tpu.ops import segmentation as seg_ops
 
 
 @jax.tree_util.register_dataclass
@@ -205,3 +206,32 @@ class FrameBuilder:
 
     def build_from_raw(self, raw) -> SphereFrame:
         return self.build(RigFrame.from_raw(raw))
+
+    # ------------------------------------------------------------- planes
+
+    def _segment_impl(self, rt, local_xyz, cloud_rgb, cloud_valid):
+        """Per-sensor plane segmentation + cross-sensor grouping (the
+        reference `Frame360::getPlanes:615` -> `getPlanesSensor:942` ->
+        `groupPlanes:742`/`mergePlanes:657` pipeline).
+
+        Sensors segment independently (vmap = the OpenMP fan-out), each
+        PlaneSet is transformed into the rig frame, then all are merged.
+        """
+        seg_cfg = self.config.seg
+        per_sensor = jax.vmap(
+            lambda x, c, v: seg_ops.segment_planes_sensor(x, c, v, seg_cfg)
+        )(local_xyz, cloud_rgb, cloud_valid)
+        num_sensors = local_xyz.shape[0]
+        sets = []
+        for s in range(num_sensors):
+            one = jax.tree_util.tree_map(lambda a: a[s], per_sensor)
+            sets.append(seg_ops.transform_planes(one, rt[s]))
+        return seg_ops.merge_plane_sets(sets, seg_cfg)
+
+    def segment_planes(self, frame: SphereFrame) -> seg_ops.PlaneSet:
+        """Extract the frame's PbMap-equivalent plane set (rig frame)."""
+        if not hasattr(self, "_segment"):
+            self._segment = jax.jit(self._segment_impl)
+        return self._segment(
+            self._params["rt"], frame.local_xyz, frame.cloud_rgb, frame.cloud_valid
+        )
