@@ -235,3 +235,26 @@ class FrameBuilder:
         return self._segment(
             self._params["rt"], frame.local_xyz, frame.cloud_rgb, frame.cloud_valid
         )
+
+    def segment_planes_from_sphere(
+        self, sphere_depth: jnp.ndarray, sphere_rgb: jnp.ndarray | None = None,
+        downsample: int = 4,
+    ) -> seg_ops.PlaneSet:
+        """Plane segmentation directly from the spherical image (no per-sensor
+        clouds needed — covers sources like the reference's stereo variant
+        `Frame360_stereo` that only provide a stitched sphere)."""
+        if not hasattr(self, "_segment_sphere"):
+
+            def impl(depth, rgb):
+                d = depth[::downsample, ::downsample]
+                r = rgb[::downsample, ::downsample]
+                xyz = camera.sphere_backproject(d)
+                valid = d > 0
+                cfg = self.config.seg
+                ps = seg_ops.segment_planes_sensor(xyz, r, valid, cfg)
+                return seg_ops.merge_plane_sets([ps], cfg)
+
+            self._segment_sphere = jax.jit(impl)
+        if sphere_rgb is None:
+            sphere_rgb = jnp.zeros(sphere_depth.shape + (3,))
+        return self._segment_sphere(sphere_depth, sphere_rgb)

@@ -426,6 +426,12 @@ def merge_plane_sets(sets: list[PlaneSet], cfg: SegmentationConfig) -> PlaneSet:
 
 def _compact_top(planes: PlaneSet, k_out: int) -> PlaneSet:
     """Keep the k_out largest-area valid planes, compacted to the front."""
+    k_have = planes.valid.shape[0]
+    if k_have < k_out:  # pad capacity with invalid slots first
+        pad = lambda a: jnp.concatenate(
+            [a, jnp.zeros((k_out - k_have,) + a.shape[1:], a.dtype)], axis=0
+        )
+        planes = jax.tree_util.tree_map(pad, planes)
     score = jnp.where(planes.valid, planes.area, -1.0)
     _, order = jax.lax.top_k(score, k_out)
     take = lambda a: a[order]

@@ -1,0 +1,163 @@
+"""SE(3) pose-graph optimization in pure JAX.
+
+Replaces the reference's g2o backend (`include/GraphOptimizer.h:66-216`:
+BlockSolverX + dense linear solver + Levenberg-Marquardt, 10 iterations) with
+a dense batched Gauss-Newton/LM solver: per-edge residuals
+e_ij = log(Z_ij^-1 T_i^-1 T_j), first-order jacobians via the adjoint, one
+scatter-add into the (6N x 6N) normal matrix, Cholesky solve on the MXU.
+Dense is the right call at this scale — the reference itself chooses
+`LinearSolverDense` (`GraphOptimizer.h:67`) — and a 3072x3072 factorization
+is microseconds of MXU time; the distributed variant for bigger maps lives
+in `parallel/sharded_ba.py`.
+
+Gauge freedom is fixed by a strong prior on vertex 0 (the reference fixes the
+first vertex, `GraphOptimizer.h:105`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from rgbd360_tpu.config import GraphConfig
+from rgbd360_tpu.ops import se3
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class PoseGraph:
+    """Fixed-capacity pose graph.
+
+    poses:   (N, 4, 4) vertex poses (world <- keyframe)
+    vmask:   (N,) bool vertex validity
+    edges_ij:(E, 2) int32 vertex indices, -1 padded
+    rel:     (E, 4, 4) measured relative pose Z_ij with x_i = Z_ij x_j
+    info:    (E, 6, 6) measurement information
+    emask:   (E,) bool edge validity
+    """
+
+    poses: jnp.ndarray
+    vmask: jnp.ndarray
+    edges_ij: jnp.ndarray
+    rel: jnp.ndarray
+    info: jnp.ndarray
+    emask: jnp.ndarray
+
+    @staticmethod
+    def empty(n: int, e: int) -> "PoseGraph":
+        return PoseGraph(
+            poses=jnp.broadcast_to(jnp.eye(4), (n, 4, 4)),
+            vmask=jnp.zeros((n,), bool),
+            edges_ij=jnp.full((e, 2), -1, jnp.int32),
+            rel=jnp.broadcast_to(jnp.eye(4), (e, 4, 4)),
+            info=jnp.broadcast_to(jnp.eye(6), (e, 6, 6)),
+            emask=jnp.zeros((e,), bool),
+        )
+
+
+def _edge_residuals(poses, graph: PoseGraph):
+    """Per-edge residual twists + adjoint jacobian factors."""
+    i = jnp.clip(graph.edges_ij[:, 0], 0, None)
+    j = jnp.clip(graph.edges_ij[:, 1], 0, None)
+    ti = poses[i]
+    tj = poses[j]
+    m = se3.se3_inverse(graph.rel) @ se3.se3_inverse(ti) @ tj
+    e = se3.se3_log(m)  # (E, 6)
+    return e, i, j
+
+
+def _adjoint(t4):
+    """SE(3) adjoint (..., 6, 6) for twist order (v, w)."""
+    r = t4[..., :3, :3]
+    t = t4[..., :3, 3]
+    tx = se3.skew(t)
+    top = jnp.concatenate([r, tx @ r], axis=-1)
+    bot = jnp.concatenate([jnp.zeros_like(r), r], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def _graph_normal_equations(poses, graph: PoseGraph):
+    """Assemble H (N*6, N*6), b (N*6) and total chi2."""
+    n = poses.shape[0]
+    e, i, j = _edge_residuals(poses, graph)
+    w = graph.emask.astype(poses.dtype)
+
+    # First-order jacobian of e wrt left-multiplicative updates on T_i/T_j:
+    # e(d) ~ e0 + Adj(T_j^-1) (d_j - d_i)  (small-residual approximation,
+    # standard for pose-graph GN; LM damping covers the rest).
+    tj = poses[j]
+    a = _adjoint(se3.se3_inverse(tj))  # (E, 6, 6) = J_j; J_i = -a
+
+    lam = graph.info * w[:, None, None]
+    aw = jnp.einsum("eki,ekl->eil", a, lam)  # A^T * info
+    h_jj = jnp.einsum("eil,elm->eim", aw, a)
+    b_j = jnp.einsum("eil,el->ei", aw, e)
+
+    # scatter into dense blocks (N, N, 6, 6)
+    hblocks = jnp.zeros((n, n, 6, 6), poses.dtype)
+    hblocks = hblocks.at[j, j].add(h_jj)
+    hblocks = hblocks.at[i, i].add(h_jj)
+    hblocks = hblocks.at[i, j].add(-h_jj)
+    hblocks = hblocks.at[j, i].add(-h_jj)
+    b = jnp.zeros((n, 6), poses.dtype)
+    b = b.at[j].add(b_j)
+    b = b.at[i].add(-b_j)
+
+    chi2 = jnp.sum(jnp.einsum("ei,eil,el->e", e, lam, e))
+
+    # gauge prior on vertex 0 + tiny prior on invalid vertices so H stays SPD
+    eye6 = jnp.eye(6, dtype=poses.dtype)
+    prior = jnp.where(graph.vmask, 1e-6, 1.0)[:, None, None] * eye6[None]
+    prior = prior.at[0].add(1e6 * eye6)
+    diag_idx = jnp.arange(n)
+    hblocks = hblocks.at[diag_idx, diag_idx].add(prior)
+
+    h = hblocks.transpose(0, 2, 1, 3).reshape(n * 6, n * 6)
+    return h, b.reshape(-1), chi2
+
+
+@partial(jax.jit, static_argnames=("max_iters",))
+def optimize_pose_graph(
+    graph: PoseGraph,
+    max_iters: int = 10,
+    lm_lambda0: float = 1e-5,
+    lm_step: float = 10.0,
+):
+    """Levenberg-Marquardt over the whole graph; returns (poses, chi2, iters).
+
+    Matches the reference's `optimizeGraph` contract (10 LM iterations,
+    dense solve, first vertex fixed, `GraphOptimizer.h:181-209`).
+    """
+    n = graph.poses.shape[0]
+
+    def body(carry):
+        poses, lam, chi2_prev, it, done = carry
+        h, b, chi2 = _graph_normal_equations(poses, graph)
+        diag = jnp.diag(jnp.diag(h))
+        delta = -jnp.linalg.solve(h + lam * diag + 1e-9 * jnp.eye(n * 6), b)
+        delta = delta.reshape(n, 6)
+        new_poses = jax.vmap(lambda d, t: se3.se3_exp(d) @ t)(delta, poses)
+        _, _, chi2_new = _graph_normal_equations(new_poses, graph)
+        improved = chi2_new < chi2
+        poses_next = jnp.where(improved, new_poses, poses)
+        lam_next = jnp.where(improved, lam / lm_step, lam * lm_step)
+        rel_impr = (chi2 - chi2_new) / jnp.maximum(chi2, 1e-12)
+        done_next = done | (improved & (rel_impr < 1e-6))
+        return (poses_next, lam_next, jnp.where(improved, chi2_new, chi2), it + 1, done_next)
+
+    def cond(carry):
+        _, _, _, it, done = carry
+        return (it < max_iters) & ~done
+
+    init_chi2 = _graph_normal_equations(graph.poses, graph)[2]
+    poses, _, chi2, iters, _ = jax.lax.while_loop(
+        cond, body, (graph.poses, jnp.array(lm_lambda0), init_chi2, jnp.array(0), jnp.array(False))
+    )
+    return poses, chi2, iters
+
+
+def graph_chi2(graph: PoseGraph) -> jnp.ndarray:
+    return _graph_normal_equations(graph.poses, graph)[2]

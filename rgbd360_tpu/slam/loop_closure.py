@@ -1,0 +1,143 @@
+"""Loop-closure detection over the keyframe map.
+
+The reference runs a background thread that, for each new keyframe, scans
+representative keyframes of non-neighbor areas within 5 m, PbMap-registers
+them (PLANAR_3DoF, >=5 matches, area > 15), refines with dense alignment and
+accepts when avDepthResidual < 2.0 (reference `include/LoopClosure360.h:
+108-366`).
+
+TPU-native redesign: there is no thread or mutex — the candidate search is
+ONE batched program.  The PbMap matcher is vmapped over every live keyframe
+at once (the map's plane sets are already stacked), distance- and area-gated
+with masks, and only the best few survivors get the (expensive) dense
+verification.  At scale the vmap axis shards over the device mesh by
+keyframe index (`parallel/sharded_ba.py`)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rgbd360_tpu.config import FrameworkConfig
+from rgbd360_tpu.ops.segmentation import PlaneSet
+from rgbd360_tpu.registration import dense as D
+from rgbd360_tpu.registration.planes import (
+    PLANAR_3DOF,
+    match_planes,
+    pose_from_matches,
+)
+
+
+@dataclass
+class LoopClosure:
+    """One accepted loop closure."""
+
+    kf_from: int
+    kf_to: int
+    rel: np.ndarray  # x_from = rel @ x_to
+    info: np.ndarray
+    sso: float
+    depth_residual: float
+
+
+class LoopCloser:
+    def __init__(self, config: FrameworkConfig):
+        self.config = config
+        self._batch_match = jax.jit(self._batch_match_impl)
+        self._aligner = D.DenseAligner(config.dense)
+        self._pyr = jax.jit(
+            lambda g, d: D.build_frame_pyramid(g, d, config.dense)
+        )
+
+    def _batch_match_impl(self, query: PlaneSet, map_planes: PlaneSet, gate):
+        """vmap the plane matcher over all keyframes; returns per-KF
+        (n_matches, matched_area, pose, info, observable)."""
+        cfg = self.config.matcher
+
+        def one(kf_planes, g):
+            pairs, n = match_planes(kf_planes, query, cfg, PLANAR_3DOF)
+            pose, info, obs = pose_from_matches(kf_planes, query, pairs, n)
+            vm = pairs[:, 0] >= 0
+            area = jnp.sum(
+                jnp.where(vm, kf_planes.area[jnp.clip(pairs[:, 0], 0, None)], 0.0)
+            )
+            n = jnp.where(g, n, 0)
+            return n, area, pose, info, obs & g
+
+        return jax.vmap(one)(map_planes, gate)
+
+    def search(
+        self,
+        map360,
+        query_planes: PlaneSet,
+        query_gray: jnp.ndarray,
+        query_depth: jnp.ndarray,
+        query_pose: jnp.ndarray,
+        query_kf: int,
+        exclude_recent: int = 2,
+        max_dense_checks: int = 3,
+    ) -> list[LoopClosure]:
+        """Find loop closures for a (new) keyframe against the whole map."""
+        lc_cfg = self.config.lc
+        n_kf = int(map360.n_kf)
+        if n_kf <= exclude_recent + 1:
+            return []
+
+        # distance gate (reference searches within 5 m, LoopClosure360.h:294)
+        centers = np.asarray(map360.poses[:, :3, 3])
+        qc = np.asarray(query_pose[:3, 3])
+        dist = np.linalg.norm(centers - qc, axis=1)
+        idx = np.arange(map360.poses.shape[0])
+        gate = (
+            (idx < n_kf)
+            & (dist < lc_cfg.search_radius)
+            & (idx < query_kf - exclude_recent)
+        )
+        if not gate.any():
+            return []
+
+        n_m, area, pose, info, obs = self._batch_match(
+            query_planes, map360.planes, jnp.asarray(gate)
+        )
+        n_m = np.asarray(n_m)
+        area = np.asarray(area)
+        ok = (
+            np.asarray(obs)
+            & (n_m >= lc_cfg.min_matches)
+            & (area > lc_cfg.min_area)
+        )
+        cand = np.where(ok)[0]
+        if len(cand) == 0:
+            return []
+        # strongest candidates first
+        cand = cand[np.argsort(-n_m[cand])][:max_dense_checks]
+
+        # dense verification (reference refines with alignFrames360 and gates
+        # avDepthResidual < 2.0, LoopClosure360.h:311-316)
+        out: list[LoopClosure] = []
+        q_pyr = self._pyr(query_gray, query_depth)
+        for k in cand:
+            kf_pyr = self._pyr(
+                map360.gray[k].astype(jnp.float32),
+                map360.depth[k].astype(jnp.float32),
+            )
+            # seed: plane pose maps x_kf = T x_query; dense align(query, kf)
+            # optimizes T_kf<-query when called as align(src=query, trg=kf)
+            seed = jnp.asarray(pose[k])
+            res = self._aligner.align(q_pyr, kf_pyr, seed, method=D.PHOTO_DEPTH)
+            dres = float(res.av_depth_residual)
+            if dres < lc_cfg.max_depth_residual and not bool(res.ill_posed):
+                out.append(
+                    LoopClosure(
+                        kf_from=int(k),
+                        kf_to=int(query_kf),
+                        rel=np.asarray(res.pose),
+                        info=np.asarray(res.hessian),
+                        sso=float(res.sso),
+                        depth_residual=dres,
+                    )
+                )
+        return out

@@ -1,0 +1,190 @@
+"""Keyframe map state (Map360 equivalent) as a fixed-capacity pytree.
+
+Mirrors the reference `include/Map360.h`: keyframe spheres + trajectory
+poses + optimized poses + the connection (edge) set + SSO co-visibility
+matrices + topological areas — but as dense padded device arrays, so every
+map-scale operation (loop-closure search, relocalization, pose-graph BA,
+partitioning) is one jitted batched program, and the map shards over a
+device mesh by keyframe index at scale (SURVEY.md section 5.7/5.8).
+
+There is no mutex: the map is immutable; updates return a new Map360 (the
+arrays are donated under jit, so in practice they update in place).  That
+removes the reference's `mapMutex` class of races by construction.
+
+Keyframe payload kept on device per KF: the spherical gray/depth images
+(bfloat16) — enough to rebuild alignment pyramids for loop-closure dense
+verification — plus the PlaneSet.  512 KFs of 320x1920 bf16 gray+depth is
+~1.2 GB of HBM.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+
+import jax
+import jax.numpy as jnp
+
+from rgbd360_tpu.config import MapConfig
+from rgbd360_tpu.ops.segmentation import PlaneSet
+from rgbd360_tpu.slam.graph import PoseGraph
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class Map360:
+    """Fixed-capacity SLAM map.
+
+    n_kf:     () int32 — number of live keyframes
+    poses:    (N, 4, 4) trajectory poses (world <- kf)
+    opt_poses:(N, 4, 4) optimized poses
+    gray:     (N, H, W) bfloat16 spherical gray
+    depth:    (N, H, W) bfloat16 spherical radial depth
+    planes:   PlaneSet with leading (N,) axis
+    graph:    PoseGraph over the keyframes
+    n_edges:  () int32
+    sso:      (N, N) float32 sensed-space-overlap matrix
+    area:     (N,) int32 topological area id per keyframe
+    n_areas:  () int32
+    """
+
+    n_kf: jnp.ndarray
+    poses: jnp.ndarray
+    opt_poses: jnp.ndarray
+    gray: jnp.ndarray
+    depth: jnp.ndarray
+    planes: PlaneSet
+    graph: PoseGraph
+    n_edges: jnp.ndarray
+    sso: jnp.ndarray
+    area: jnp.ndarray
+    n_areas: jnp.ndarray
+
+    # ----------------------------------------------------------- creation
+
+    @staticmethod
+    def empty(cfg: MapConfig, sphere_h: int, sphere_w: int, max_planes: int, hull_dirs: int) -> "Map360":
+        n = cfg.max_keyframes
+        e = cfg.max_edges
+        zero_planes = PlaneSet(
+            normal=jnp.zeros((n, max_planes, 3)),
+            center=jnp.zeros((n, max_planes, 3)),
+            d=jnp.zeros((n, max_planes)),
+            curvature=jnp.zeros((n, max_planes)),
+            area=jnp.zeros((n, max_planes)),
+            elongation=jnp.ones((n, max_planes)),
+            n_inliers=jnp.zeros((n, max_planes)),
+            hull=jnp.zeros((n, max_planes, hull_dirs, 3)),
+            hue_hist=jnp.zeros((n, max_planes, 37)),
+            main_color=jnp.zeros((n, max_planes, 3)),
+            valid=jnp.zeros((n, max_planes), bool),
+        )
+        return Map360(
+            n_kf=jnp.int32(0),
+            poses=jnp.broadcast_to(jnp.eye(4), (n, 4, 4)),
+            opt_poses=jnp.broadcast_to(jnp.eye(4), (n, 4, 4)),
+            gray=jnp.zeros((n, sphere_h, sphere_w), jnp.bfloat16),
+            depth=jnp.zeros((n, sphere_h, sphere_w), jnp.bfloat16),
+            planes=zero_planes,
+            graph=PoseGraph.empty(n, e),
+            n_edges=jnp.int32(0),
+            sso=jnp.zeros((n, n), jnp.float32),
+            area=jnp.zeros((n,), jnp.int32),
+            n_areas=jnp.int32(1),
+        )
+
+    # ------------------------------------------------------------ updates
+
+    def add_keyframe(
+        self,
+        pose: jnp.ndarray,
+        gray: jnp.ndarray,
+        depth: jnp.ndarray,
+        planes: PlaneSet,
+        area_id: jnp.ndarray | int = None,
+    ) -> "Map360":
+        """Append a keyframe (reference `Map360::addKeyframe:90`)."""
+        k = self.n_kf
+        if area_id is None:
+            area_id = jnp.int32(0)
+        set_plane = lambda tot, one: jax.tree_util.tree_map(
+            lambda a, b: a.at[k].set(b.astype(a.dtype)), tot, one
+        )
+        return replace(
+            self,
+            n_kf=k + 1,
+            poses=self.poses.at[k].set(pose),
+            opt_poses=self.opt_poses.at[k].set(pose),
+            gray=self.gray.at[k].set(gray.astype(jnp.bfloat16)),
+            depth=self.depth.at[k].set(depth.astype(jnp.bfloat16)),
+            planes=set_plane(self.planes, planes),
+            graph=replace(
+                self.graph,
+                poses=self.graph.poses.at[k].set(pose),
+                vmask=self.graph.vmask.at[k].set(True),
+            ),
+            area=self.area.at[k].set(jnp.int32(area_id)),
+        )
+
+    def add_edge(
+        self,
+        i: jnp.ndarray | int,
+        j: jnp.ndarray | int,
+        rel: jnp.ndarray,
+        info: jnp.ndarray,
+        sso: jnp.ndarray | float = 0.0,
+    ) -> "Map360":
+        """Record a connection (reference `mmConnectionKFs`, `Map360.h:60`).
+
+        rel maps x_i = rel @ x_j (pose of KF j expressed in KF i's frame).
+        """
+        e = self.n_edges
+        i = jnp.int32(i)
+        j = jnp.int32(j)
+        return replace(
+            self,
+            n_edges=e + 1,
+            graph=replace(
+                self.graph,
+                edges_ij=self.graph.edges_ij.at[e].set(jnp.stack([i, j])),
+                rel=self.graph.rel.at[e].set(rel),
+                info=self.graph.info.at[e].set(info),
+                emask=self.graph.emask.at[e].set(True),
+            ),
+            sso=self.sso.at[i, j].set(sso).at[j, i].set(sso),
+        )
+
+    def with_optimized(self, poses: jnp.ndarray) -> "Map360":
+        return replace(
+            self, opt_poses=poses, graph=replace(self.graph, poses=poses)
+        )
+
+    # -------------------------------------------------------- persistence
+
+    def save(self, path: str) -> None:
+        """Serialize the map to an .npz archive (the reference saves PCDs +
+        gzipped PbMaps + graph text, `Frame360::save:321`,
+        `GraphOptimizer::saveGraph:273`; one pytree archive covers all)."""
+        import numpy as np
+
+        flat, treedef = jax.tree_util.tree_flatten(self)
+
+        def to_np(x):
+            a = np.asarray(x)
+            # npz has no bfloat16; widen to float32 (lossless)
+            return a.astype(np.float32) if a.dtype.name == "bfloat16" else a
+
+        np.savez_compressed(
+            path, **{f"leaf_{i}": to_np(x) for i, x in enumerate(flat)}
+        )
+
+    @staticmethod
+    def load(path: str, template: "Map360") -> "Map360":
+        import numpy as np
+
+        data = np.load(path)
+        flat, treedef = jax.tree_util.tree_flatten(template)
+        leaves = [
+            jnp.asarray(data[f"leaf_{i}"], dtype=flat[i].dtype)
+            for i in range(len(flat))
+        ]
+        return jax.tree_util.tree_unflatten(treedef, leaves)

@@ -1,0 +1,363 @@
+"""Odometry and keyframe SLAM drivers.
+
+Pose conventions (used consistently across the framework):
+  * `DenseAligner.align(src, trg)` optimizes T with p_trg = T p_src, i.e. it
+    returns T_trg<-src.  Calling `align(new_frame, keyframe)` therefore
+    yields T_kf<-new directly.
+  * `PlaneRegistration.register(ref, trg)` returns T_ref<-trg, so
+    `register(keyframe, new_frame)` also yields T_kf<-new.
+  * World poses compose as pose_new = pose_kf @ T_kf<-new.
+
+Drivers:
+  * FrameToFrameOdometry — the reference `Registration/OdometryRGBD360.cpp`
+    pipeline: PbMap seed + dense refinement each frame, trajectory
+    accumulation, continuity guards.
+  * KeyframeSLAM — the reference `SLAM/KFsphere_SLAM.cpp` pipeline: plane
+    fast path, dense tracking against the nearest keyframe, residual-based
+    keyframe selection, neighbor-keyframe connections, loop closure, pose
+    graph optimization, topological partitioning, relocalization after
+    tracking loss.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rgbd360_tpu.config import FrameworkConfig, default_config
+from rgbd360_tpu.core.frame import FrameBuilder, SphereFrame
+from rgbd360_tpu.ops import se3, stitch as stitch_ops
+from rgbd360_tpu.registration import dense as D
+from rgbd360_tpu.registration.planes import (
+    PLANAR_3DOF,
+    PlaneRegistration,
+)
+from rgbd360_tpu.slam.loop_closure import LoopCloser
+from rgbd360_tpu.slam.map import Map360
+from rgbd360_tpu.slam.graph import optimize_pose_graph
+from rgbd360_tpu.slam.relocalizer import Relocalizer
+from rgbd360_tpu.slam.topological import partition_map
+
+
+def is_motion_continuous(
+    rel: np.ndarray, max_translation: float, max_rotation: float
+) -> bool:
+    """Odometry continuity guard (reference
+    `Registration/OdometryKeyFrame360.cpp:75-95`,
+    `include/Miscellaneous.h:69-72`)."""
+    dt = float(np.linalg.norm(rel[:3, 3]))
+    dr = float(np.asarray(se3.rotation_angle(jnp.asarray(rel[:3, :3]))))
+    return dt < max_translation and dr < max_rotation
+
+
+@dataclass
+class FrameState:
+    """Per-frame working set kept for the tracked reference frame."""
+
+    sphere: SphereFrame
+    pyramid: D.FramePyramid
+    planes: object  # PlaneSet
+
+
+class TrackerBase:
+    def __init__(self, builder: FrameBuilder, config: FrameworkConfig | None = None):
+        self.config = config or builder.config
+        self.builder = builder
+        self.aligner = D.DenseAligner(self.config.dense)
+        self.plane_reg = PlaneRegistration(self.config.matcher)
+        seam = stitch_ops.seam_mask_from_maps(builder.maps, 1)
+        self._pyr = jax.jit(
+            lambda g, d: D.build_frame_pyramid(g, d, self.config.dense, seam)
+        )
+
+    def make_state(self, raw) -> FrameState:
+        sphere = self.builder.build_from_raw(raw)
+        pyramid = self._pyr(sphere.sphere_gray, sphere.sphere_depth)
+        planes = self.builder.segment_planes(sphere)
+        return FrameState(sphere=sphere, pyramid=pyramid, planes=planes)
+
+    def align_with_fallback(self, src_pyr, trg_pyr, seed):
+        """Dense alignment from a seed, retried from identity when the
+        seeded solve fails or lands on a worse optimum (the reference's
+        tracking-loss fallbacks, `SLAM/SphereGraphSLAM.cpp:175-244`)."""
+        kf_cfg = self.config.kf
+        res = self.aligner.align(src_pyr, trg_pyr, seed, method=D.PHOTO_DEPTH)
+        good = not bool(res.ill_posed) and is_motion_continuous(
+            np.asarray(res.pose),
+            kf_cfg.max_translation_odometry,
+            kf_cfg.max_rotation_odometry,
+        )
+        if isinstance(seed, jnp.ndarray) and np.allclose(np.asarray(seed), np.eye(4)):
+            return res
+        res_id = self.aligner.align(src_pyr, trg_pyr, jnp.eye(4), method=D.PHOTO_DEPTH)
+        good_id = not bool(res_id.ill_posed) and is_motion_continuous(
+            np.asarray(res_id.pose),
+            kf_cfg.max_translation_odometry,
+            kf_cfg.max_rotation_odometry,
+        )
+        if not good:
+            return res_id
+        if good_id and float(res_id.error) < float(res.error):
+            return res_id
+        return res
+
+    def make_state_from_sphere(self, gray, depth, rgb=None) -> FrameState:
+        """Build tracking state from a raw spherical frame (stereo-variant
+        style input, reference `Frame360_stereo`): planes come from the
+        sphere itself."""
+        sphere = SphereFrame(
+            sphere_rgb=rgb if rgb is not None else jnp.zeros(gray.shape + (3,)),
+            sphere_gray=gray,
+            sphere_depth=depth,
+            cloud_xyz=jnp.zeros((1, 1, 1, 3)),
+            cloud_rgb=jnp.zeros((1, 1, 1, 3)),
+            cloud_valid=jnp.zeros((1, 1, 1), bool),
+            local_xyz=jnp.zeros((1, 1, 1, 3)),
+        )
+        pyramid = self._pyr(gray, depth)
+        planes = self.builder.segment_planes_from_sphere(depth, sphere.sphere_rgb)
+        return FrameState(sphere=sphere, pyramid=pyramid, planes=planes)
+
+
+class FrameToFrameOdometry(TrackerBase):
+    """Dense (PbMap-seeded) frame-to-frame odometry."""
+
+    def __init__(self, builder: FrameBuilder, config: FrameworkConfig | None = None):
+        super().__init__(builder, config)
+        self.prev: FrameState | None = None
+        self.pose = np.eye(4)
+        self.trajectory: list[np.ndarray] = []
+        self.stats: list[dict] = []
+
+    def process(self, raw) -> dict:
+        return self.process_state(self.make_state(raw))
+
+    def process_state(self, state: FrameState) -> dict:
+        info = {"keyframe": False, "tracked": True}
+        if self.prev is None:
+            self.trajectory.append(self.pose.copy())
+            self.prev = state
+            info["keyframe"] = True
+            return info
+
+        # PbMap seed (reference OdometryRGBD360.cpp:205 then dense :251)
+        pb = self.plane_reg.register(self.prev.planes, state.planes, mode=PLANAR_3DOF)
+        seed = jnp.asarray(pb.pose) if bool(pb.success) else jnp.eye(4)
+        res = self.align_with_fallback(state.pyramid, self.prev.pyramid, seed)
+        rel = np.asarray(res.pose)  # T_prev<-new
+        kf_cfg = self.config.kf
+        ok = (
+            not bool(res.ill_posed)
+            and is_motion_continuous(
+                rel, kf_cfg.max_translation_odometry, kf_cfg.max_rotation_odometry
+            )
+        )
+        if ok:
+            self.pose = self.pose @ rel
+        info.update(
+            tracked=ok,
+            rel=rel,
+            av_depth_residual=float(res.av_depth_residual),
+            sso=float(res.sso),
+            pb_matches=int(pb.n_matches),
+        )
+        self.trajectory.append(self.pose.copy())
+        self.stats.append(info)
+        self.prev = state
+        return info
+
+
+class KeyframeSLAM(TrackerBase):
+    """Keyframe SLAM with dense tracking, loop closure and pose-graph BA."""
+
+    def __init__(self, builder: FrameBuilder, config: FrameworkConfig | None = None):
+        super().__init__(builder, config)
+        cfg = self.config
+        self.map = Map360.empty(
+            cfg.map,
+            cfg.sphere.height,
+            cfg.sphere.width,
+            cfg.seg.max_planes,
+            cfg.seg.hull_dirs,
+        )
+        self.loop_closer = LoopCloser(cfg)
+        self.relocalizer = Relocalizer(cfg)
+        self.current_kf = -1
+        self.kf_state: FrameState | None = None
+        self.pose = np.eye(4)  # current frame world pose
+        self.trajectory: list[np.ndarray] = []
+        self.lost = False
+        self.n_loop_closures = 0
+        self.events: list[dict] = []
+
+    # ------------------------------------------------------------ helpers
+
+    def _add_keyframe(self, state: FrameState, pose: np.ndarray) -> int:
+        k = int(self.map.n_kf)
+        self.map = self.map.add_keyframe(
+            jnp.asarray(pose),
+            state.sphere.sphere_gray,
+            state.sphere.sphere_depth,
+            state.planes,
+        )
+        self.current_kf = k
+        self.kf_state = state
+        return k
+
+    def _optimize(self):
+        g = self.config.graph
+        poses, chi2, iters = optimize_pose_graph(
+            self.map.graph, g.max_iters, g.lm_lambda0, g.lm_step
+        )
+        self.map = self.map.with_optimized(poses)
+        return float(chi2), int(iters)
+
+    # ------------------------------------------------------------ process
+
+    def process(self, raw) -> dict:
+        return self.process_state(self.make_state(raw))
+
+    def process_state(self, state: FrameState) -> dict:
+        kf_cfg = self.config.kf
+        ev: dict = {"keyframe": False, "loop_closures": 0, "relocalized": False}
+
+        if self.current_kf < 0:  # first frame seeds the map
+            self._add_keyframe(state, np.eye(4))
+            self.trajectory.append(np.eye(4))
+            ev["keyframe"] = True
+            self.events.append(ev)
+            return ev
+
+        if self.lost:
+            r = self.relocalizer.relocalize(self.map, state.planes)
+            ev["relocalized"] = r.success
+            if not r.success:
+                self.trajectory.append(self.pose.copy())
+                self.events.append(ev)
+                return ev
+            self.current_kf = r.kf
+            self.kf_state = None  # pyramid of that KF rebuilt below
+            self.pose = np.asarray(self.map.opt_poses[r.kf]) @ r.pose
+            self.lost = False
+
+        # reference keyframe pyramids (rebuild from the map if needed)
+        if self.kf_state is None:
+            kf_pyr = self._pyr(
+                self.map.gray[self.current_kf].astype(jnp.float32),
+                self.map.depth[self.current_kf].astype(jnp.float32),
+            )
+            kf_planes = jax.tree_util.tree_map(
+                lambda a: a[self.current_kf], self.map.planes
+            )
+        else:
+            kf_pyr = self.kf_state.pyramid
+            kf_planes = self.kf_state.planes
+
+        # plane fast path (reference KFsphere_SLAM.cpp:314,354-366)
+        pb = self.plane_reg.register(kf_planes, state.planes, mode=PLANAR_3DOF)
+        kf_pose = np.asarray(self.map.opt_poses[self.current_kf])
+
+        # dense tracking: T_kf<-new (reference :370-373)
+        seed = jnp.asarray(pb.pose) if bool(pb.success) else jnp.eye(4)
+        res = self.align_with_fallback(state.pyramid, kf_pyr, seed)
+        rel = np.asarray(res.pose)
+        depth_res = float(res.av_depth_residual)
+        ev["av_depth_residual"] = depth_res
+        ev["pb_matches"] = int(pb.n_matches)
+
+        continuous = is_motion_continuous(
+            rel, kf_cfg.max_translation_odometry, kf_cfg.max_rotation_odometry
+        )
+        if bool(res.ill_posed) or not continuous:
+            self.lost = True
+            ev["lost"] = True
+            self.trajectory.append(self.pose.copy())
+            self.events.append(ev)
+            return ev
+
+        self.pose = kf_pose @ rel
+
+        # keyframe decision (reference :388-396 — keep tracking while the
+        # depth residual stays low and we're close to the KF)
+        small_motion = float(np.linalg.norm(rel[:3, 3])) < kf_cfg.min_dist_keyframes
+        if depth_res < kf_cfg.select_kf_icp_dist or small_motion:
+            self.trajectory.append(self.pose.copy())
+            self.events.append(ev)
+            return ev
+
+        # ---- promote to keyframe (reference :516-633)
+        prev_kf = self.current_kf
+        k = self._add_keyframe(state, self.pose)
+        ev["keyframe"] = True
+        # dense odometry edge (T_prev<-new); info = dense Hessian
+        self.map = self.map.add_edge(
+            prev_kf,
+            k,
+            jnp.asarray(rel),
+            jnp.asarray(res.hessian),
+            sso=float(res.sso),
+        )
+        # consistent PbMap edge adds an extra constraint (reference :547-554)
+        if bool(pb.success):
+            dpb = np.asarray(pb.pose)
+            dt = np.linalg.norm(dpb[:3, 3] - rel[:3, 3])
+            dr = float(
+                np.asarray(
+                    se3.rotation_angle(jnp.asarray(dpb[:3, :3].T @ rel[:3, :3]))
+                )
+            )
+            if dt < 0.1 and dr < np.deg2rad(5):
+                self.map = self.map.add_edge(
+                    prev_kf,
+                    k,
+                    jnp.asarray(dpb),
+                    jnp.asarray(pb.information),
+                    sso=float(res.sso),
+                )
+
+        # loop closures for the new keyframe
+        lcs = self.loop_closer.search(
+            self.map,
+            state.planes,
+            state.sphere.sphere_gray,
+            state.sphere.sphere_depth,
+            jnp.asarray(self.pose),
+            k,
+        )
+        for lc in lcs:
+            self.map = self.map.add_edge(
+                lc.kf_from,
+                lc.kf_to,
+                jnp.asarray(lc.rel),
+                jnp.asarray(lc.info),
+                sso=lc.sso,
+            )
+        ev["loop_closures"] = len(lcs)
+        self.n_loop_closures += len(lcs)
+
+        # optimize whenever the graph gained a non-odometry constraint
+        if lcs:
+            chi2, iters = self._optimize()
+            ev["chi2"] = chi2
+            self.pose = np.asarray(self.map.opt_poses[k])
+
+        # topological partitioning every 4 KFs (reference :710-717)
+        if int(self.map.n_kf) % self.config.map.partition_every_n_kf == 0:
+            area, n_areas = partition_map(
+                self.map,
+                self.config.map.sso_partition_threshold,
+            )
+            from dataclasses import replace as _replace
+
+            self.map = _replace(
+                self.map,
+                area=jnp.asarray(area),
+                n_areas=jnp.int32(n_areas),
+            )
+
+        self.trajectory.append(self.pose.copy())
+        self.events.append(ev)
+        return ev

@@ -1,0 +1,118 @@
+"""Topological map partitioning by spectral cuts over the SSO graph.
+
+The reference partitions the keyframe graph into topological areas with
+MRPT's `RecursiveSpectralPartition(SSO, parts, threshold=0.8, min_size=3)`
+(reference `include/TopologicalMap360.h:391-411`), where SSO is the
+sensed-space-overlap (co-visibility) matrix maintained per area
+(`getVicinitySSO:134`).  Here the whole map keeps ONE dense (N, N) SSO
+matrix (`Map360.sso`) and partitioning is recursive normalized-cut
+bisection via the Fiedler vector of the masked submatrix — a tiny symmetric
+eigenproblem, done host-side on numpy (it runs every few keyframes and N is
+hundreds)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def normalized_cut_value(w: np.ndarray, part: np.ndarray) -> float:
+    """NCut(A, B) = cut(A,B)/assoc(A,V) + cut(A,B)/assoc(B,V)."""
+    a = part
+    b = ~part
+    cut = w[np.ix_(a, b)].sum()
+    assoc_a = w[a].sum()
+    assoc_b = w[b].sum()
+    if assoc_a <= 0 or assoc_b <= 0:
+        return np.inf
+    return float(cut / assoc_a + cut / assoc_b)
+
+
+def _fiedler_bisect(w: np.ndarray) -> np.ndarray:
+    """Bisect by the sign of the Fiedler vector of the normalized Laplacian."""
+    d = w.sum(axis=1)
+    d_safe = np.maximum(d, 1e-9)
+    d_inv_sqrt = 1.0 / np.sqrt(d_safe)
+    lap = np.eye(len(w)) - (d_inv_sqrt[:, None] * w * d_inv_sqrt[None, :])
+    vals, vecs = np.linalg.eigh(lap)
+    fiedler = vecs[:, 1] if len(vals) > 1 else vecs[:, 0]
+    # choose the threshold along the sorted Fiedler values minimizing NCut
+    order = np.argsort(fiedler)
+    best, best_part = np.inf, fiedler >= np.median(fiedler)
+    for cut_at in range(1, len(order)):
+        part = np.zeros(len(w), bool)
+        part[order[:cut_at]] = True
+        v = normalized_cut_value(w, part)
+        if v < best:
+            best, best_part = v, part
+    return best_part
+
+
+def recursive_spectral_partition(
+    sso: np.ndarray,
+    threshold: float = 0.8,
+    min_size: int = 3,
+) -> np.ndarray:
+    """Partition keyframes into areas; returns int area id per keyframe.
+
+    Recursion matches the reference semantics: keep splitting a group while
+    the normalized-cut cost of its best bisection is below `threshold` and
+    both halves have at least `min_size` nodes.
+    """
+    n = len(sso)
+    labels = np.zeros(n, dtype=np.int32)
+    next_label = [1]
+
+    def split(idx: np.ndarray):
+        if len(idx) < 2 * min_size:
+            return
+        w = sso[np.ix_(idx, idx)]
+        if w.sum() <= 0:
+            return
+        part = _fiedler_bisect(w)
+        if part.sum() < min_size or (~part).sum() < min_size:
+            return
+        if normalized_cut_value(w, part) >= threshold:
+            return
+        b_idx = idx[~part]
+        labels[b_idx] = next_label[0]
+        next_label[0] += 1
+        split(idx[part])
+        split(b_idx)
+
+    split(np.arange(n))
+    # compact labels to 0..k-1 in first-seen order
+    uniq, labels = np.unique(labels, return_inverse=True)
+    return labels.astype(np.int32)
+
+
+def partition_map(map360, threshold: float = 0.8, min_size: int = 3):
+    """Repartition a Map360's live keyframes; returns (area ids (N,), count).
+
+    Equivalent of `TopologicalMap360::Partitioner` + `ArrangeGraphSSO`
+    (reference `TopologicalMap360.h:391-411,170-368`) — but since the SSO
+    matrix is global and dense, no block rearrangement is needed; areas are
+    just relabeled."""
+    n_kf = int(map360.n_kf)
+    full = np.zeros(map360.area.shape[0], dtype=np.int32)
+    if n_kf == 0:
+        return full, 1
+    sso = np.asarray(map360.sso)[:n_kf, :n_kf].astype(np.float64)
+    sso = np.maximum(sso, sso.T)
+    labels = recursive_spectral_partition(sso, threshold, min_size)
+    full[:n_kf] = labels
+    return full, int(labels.max()) + 1
+
+
+def neighbor_areas(map360) -> np.ndarray:
+    """(A, A) bool adjacency between areas via existing edges (the
+    reference's `vsNeighborAreas`)."""
+    n_areas = int(map360.n_areas)
+    area = np.asarray(map360.area)
+    out = np.eye(n_areas, dtype=bool)
+    edges = np.asarray(map360.graph.edges_ij)
+    emask = np.asarray(map360.graph.emask)
+    for (i, j), ok in zip(edges, emask):
+        if ok and i >= 0:
+            out[area[i], area[j]] = True
+            out[area[j], area[i]] = True
+    return out

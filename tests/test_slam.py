@@ -1,0 +1,191 @@
+"""SLAM layer tests: pose graph, map, topological partitioning, relocalizer."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rgbd360_tpu.config import default_config
+from rgbd360_tpu.ops import se3
+from rgbd360_tpu.slam.graph import PoseGraph, graph_chi2, optimize_pose_graph
+from rgbd360_tpu.slam.map import Map360
+from rgbd360_tpu.slam.topological import (
+    partition_map,
+    recursive_spectral_partition,
+)
+
+
+def _ring_graph(n=12, noise=0.03, seed=0):
+    """Odometry ring with a loop-closure edge: classic pose-graph test."""
+    rng = np.random.default_rng(seed)
+    # ground truth: walk around a circle
+    gt = [np.eye(4)]
+    step = np.asarray(
+        se3.se3_exp(jnp.array([1.0, 0.0, 0.0, 0.0, 2 * np.pi / n, 0.0]))
+    )
+    for _ in range(n - 1):
+        gt.append(gt[-1] @ step)
+    gt = np.stack(gt)
+
+    g = PoseGraph.empty(n, 2 * n)
+    # noisy odometry estimates accumulate drift
+    poses = [np.eye(4)]
+    e = 0
+    edges_ij, rels, infos, emask = (
+        np.full((2 * n, 2), -1, np.int32),
+        np.tile(np.eye(4), (2 * n, 1, 1)),
+        np.tile(np.eye(6), (2 * n, 1, 1)),
+        np.zeros(2 * n, bool),
+    )
+    for i in range(n - 1):
+        z = np.linalg.inv(gt[i]) @ gt[i + 1]
+        z_noisy = z @ np.asarray(se3.se3_exp(jnp.asarray(rng.normal(0, noise, 6))))
+        poses.append(poses[-1] @ z_noisy)
+        edges_ij[e] = (i, i + 1)
+        rels[e] = z_noisy
+        infos[e] = np.eye(6) * 100
+        emask[e] = True
+        e += 1
+    # exact loop closure n-1 -> 0
+    z = np.linalg.inv(gt[n - 1]) @ gt[0]
+    edges_ij[e] = (n - 1, 0)
+    rels[e] = z
+    infos[e] = np.eye(6) * 1000
+    emask[e] = True
+    e += 1
+
+    g = PoseGraph(
+        poses=jnp.asarray(np.stack(poses)),
+        vmask=jnp.ones(n, bool),
+        edges_ij=jnp.asarray(edges_ij),
+        rel=jnp.asarray(rels),
+        info=jnp.asarray(infos),
+        emask=jnp.asarray(emask),
+    )
+    return g, gt
+
+
+class TestPoseGraph:
+    def test_ring_closes(self):
+        g, gt = _ring_graph()
+        chi2_before = float(graph_chi2(g))
+        poses, chi2, iters = optimize_pose_graph(g, max_iters=20)
+        assert float(chi2) < chi2_before * 0.1, (chi2_before, float(chi2))
+        # end-point error vs ground truth should shrink dramatically
+        err_before = np.linalg.norm(np.asarray(g.poses)[-1][:3, 3] - gt[-1][:3, 3])
+        err_after = np.linalg.norm(np.asarray(poses)[-1][:3, 3] - gt[-1][:3, 3])
+        assert err_after < err_before * 0.5, (err_before, err_after)
+        # gauge: first pose stays fixed
+        np.testing.assert_allclose(np.asarray(poses)[0], np.eye(4), atol=1e-3)
+
+    def test_perfect_graph_stays(self):
+        g, gt = _ring_graph(noise=0.0)
+        poses, chi2, _ = optimize_pose_graph(g)
+        assert float(chi2) < 1e-4
+        np.testing.assert_allclose(np.asarray(poses), gt, atol=1e-3)
+
+    def test_empty_graph_no_nan(self):
+        g = PoseGraph.empty(8, 8)
+        poses, chi2, _ = optimize_pose_graph(g)
+        assert np.isfinite(np.asarray(poses)).all()
+
+
+class TestMap:
+    def _small_map(self):
+        cfg = default_config()
+        from dataclasses import replace
+
+        mcfg = replace(cfg.map, max_keyframes=8, max_edges=16)
+        m = Map360.empty(mcfg, 32, 64, cfg.seg.max_planes, cfg.seg.hull_dirs)
+        return m, cfg
+
+    def test_add_keyframes_edges(self):
+        m, cfg = self._small_map()
+        gray = jnp.ones((32, 64))
+        depth = jnp.full((32, 64), 2.0)
+        planes = jax.tree_util.tree_map(lambda a: a[0], m.planes)
+        m = m.add_keyframe(jnp.eye(4), gray, depth, planes)
+        pose2 = se3.se3_exp(jnp.array([0.5, 0, 0, 0, 0, 0]))
+        m = m.add_keyframe(pose2, gray, depth, planes)
+        assert int(m.n_kf) == 2
+        m = m.add_edge(0, 1, pose2, jnp.eye(6) * 10, sso=0.8)
+        assert int(m.n_edges) == 1
+        assert float(m.sso[0, 1]) == pytest.approx(0.8)
+        assert bool(m.graph.emask[0])
+
+    def test_save_load_roundtrip(self, tmp_path):
+        m, _ = self._small_map()
+        gray = jnp.ones((32, 64))
+        depth = jnp.full((32, 64), 2.0)
+        planes = jax.tree_util.tree_map(lambda a: a[0], m.planes)
+        m = m.add_keyframe(jnp.eye(4), gray, depth, planes)
+        p = str(tmp_path / "map.npz")
+        m.save(p)
+        m2 = Map360.load(p, m)
+        assert int(m2.n_kf) == 1
+        np.testing.assert_allclose(np.asarray(m2.poses), np.asarray(m.poses))
+
+
+class TestTopological:
+    def test_two_clusters(self):
+        # two tight groups with weak inter-links
+        n = 12
+        sso = np.zeros((n, n))
+        for i in range(6):
+            for j in range(6):
+                sso[i, j] = 0.9
+                sso[i + 6, j + 6] = 0.9
+        sso[5, 6] = sso[6, 5] = 0.05
+        np.fill_diagonal(sso, 0)
+        labels = recursive_spectral_partition(sso, threshold=0.8, min_size=3)
+        assert len(set(labels[:6])) == 1
+        assert len(set(labels[6:])) == 1
+        assert labels[0] != labels[6]
+
+    def test_single_cluster_not_split(self):
+        n = 8
+        sso = np.full((n, n), 0.9)
+        np.fill_diagonal(sso, 0)
+        labels = recursive_spectral_partition(sso, threshold=0.8, min_size=3)
+        assert len(set(labels)) == 1
+
+
+class TestRealSLAM:
+    """End-to-end on the two real samples."""
+
+    @pytest.fixture(scope="class")
+    def tracker(self, calibration):
+        from dataclasses import replace
+
+        from rgbd360_tpu.core.frame import FrameBuilder
+        from rgbd360_tpu.slam.odometry import KeyframeSLAM
+
+        cfg = default_config()
+        cfg = cfg.replace(map=replace(cfg.map, max_keyframes=16, max_edges=64))
+        builder = FrameBuilder(calibration, cfg)
+        return KeyframeSLAM(builder, cfg)
+
+    def test_two_frame_slam(self, tracker, sample_paths):
+        from rgbd360_tpu.io.bin_format import read_rig_frame
+
+        ev1 = tracker.process(read_rig_frame(sample_paths[0]))
+        assert ev1["keyframe"]
+        ev2 = tracker.process(read_rig_frame(sample_paths[1]))
+        # frame 10 is ~0.32 m away with depth residual ~2.4 -> promoted to KF
+        assert ev2["keyframe"], ev2
+        assert int(tracker.map.n_kf) == 2
+        assert int(tracker.map.n_edges) >= 1
+        pose2 = tracker.trajectory[-1]
+        dt = np.linalg.norm(pose2[:3, 3])
+        assert 0.1 < dt < 0.8, pose2[:3, 3]
+
+    def test_relocalize_against_map(self, tracker, sample_paths):
+        from rgbd360_tpu.io.bin_format import read_rig_frame
+        from rgbd360_tpu.slam.relocalizer import Relocalizer
+
+        raw = read_rig_frame(sample_paths[1])
+        state = tracker.make_state(raw)
+        r = Relocalizer(tracker.config).relocalize(tracker.map, state.planes)
+        assert r.success
+        assert r.kf == 1  # frame 10 IS keyframe 1
+        assert np.linalg.norm(np.asarray(r.pose)[:3, 3]) < 0.1

@@ -1,0 +1,61 @@
+"""End-to-end SLAM on a synthetic spherical sequence rendered from real data.
+
+Establishes the ATE metric from BASELINE.md: frames are rendered along a
+known trajectory from real sample geometry, the keyframe SLAM runs on them,
+and the recovered trajectory must match ground truth."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from helpers import ate_rmse, render_sphere_from, synth_trajectory
+
+
+@pytest.fixture(scope="module")
+def seq(calibration, sample_paths):
+    from rgbd360_tpu.core.frame import FrameBuilder
+    from rgbd360_tpu.io.bin_format import read_rig_frame
+
+    builder = FrameBuilder(calibration)
+    f = builder.build_from_raw(read_rig_frame(sample_paths[0]))
+    gt = synth_trajectory(6, step=0.12, yaw_step=0.03)
+    frames = []
+    for pose in gt:
+        g, d = render_sphere_from(f.sphere_gray, f.sphere_depth, pose)
+        frames.append((g, d))
+    return builder, frames, gt
+
+
+def test_frame_to_frame_odometry_ate(seq):
+    from rgbd360_tpu.slam.odometry import FrameToFrameOdometry
+
+    builder, frames, gt = seq
+    odo = FrameToFrameOdometry(builder)
+    for g, d in frames:
+        odo.process_state(odo.make_state_from_sphere(g, d))
+    est = np.stack(odo.trajectory)
+    ate = ate_rmse(est, gt)
+    assert ate < 0.05, f"ATE {ate:.3f} m over {len(frames)} frames"
+
+
+def test_keyframe_slam_ate(seq):
+    from dataclasses import replace
+
+    from rgbd360_tpu.config import default_config
+    from rgbd360_tpu.slam.odometry import KeyframeSLAM
+
+    builder, frames, gt = seq
+    cfg = default_config()
+    cfg = cfg.replace(
+        map=replace(cfg.map, max_keyframes=16, max_edges=64),
+        kf=replace(cfg.kf, select_kf_icp_dist=0.35),  # force several KFs
+    )
+    slam = KeyframeSLAM(builder, cfg)
+    for g, d in frames:
+        slam.process_state(slam.make_state_from_sphere(g, d))
+    est = np.stack(slam.trajectory)
+    ate = ate_rmse(est, gt)
+    n_kf = int(slam.map.n_kf)
+    assert n_kf >= 2, n_kf
+    assert ate < 0.08, f"ATE {ate:.3f} m with {n_kf} keyframes"
