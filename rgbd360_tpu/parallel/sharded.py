@@ -1,0 +1,224 @@
+"""Multi-chip sharding of the map-scale SLAM stages.
+
+The reference is a single-process shared-memory program; its only
+parallelism is OpenMP (SURVEY.md section 2.5).  The TPU-native scaling axis
+is the *map*: keyframes, loop-closure candidate matching and pose-graph BA
+shard over a `jax.sharding.Mesh` by keyframe/edge index, with XLA
+collectives doing the reductions that the reference's OpenMP `reduction(+)`
+pragmas did on one machine:
+
+  * `sharded_plane_scan` — the LoopCloser/Relocalizer batch matcher with the
+    keyframe axis sharded: each device matches the query against its KF
+    shard; results stay sharded (the host only gathers the few survivors).
+  * `sharded_pair_align` — batch dense GN normal-equation assembly for many
+    keyframe pairs, data-parallel over pairs.
+  * `distributed_pose_graph` — pose-graph LM with the EDGE set sharded:
+    every device assembles H/b blocks for its edges, a `psum` over the mesh
+    forms the global normal equations, and the (small, dense) solve runs
+    replicated.  This is the reduce+replicated-solve pattern; the Schur
+    -complement variant for very large maps keeps the same psum structure.
+
+Everything works unchanged on one device (mesh of size 1), and the driver's
+`dryrun_multichip` exercises it on N virtual devices.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from rgbd360_tpu.config import MatcherConfig
+from rgbd360_tpu.ops import se3
+from rgbd360_tpu.registration.planes import (
+    PLANAR_3DOF,
+    match_planes,
+    pose_from_matches,
+)
+from rgbd360_tpu.slam.graph import PoseGraph, _adjoint, _edge_residuals
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "kf") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+# ------------------------------------------------------------- plane scan
+
+
+def sharded_plane_scan(
+    mesh: Mesh,
+    map_planes,
+    query,
+    gate: jnp.ndarray,
+    cfg: MatcherConfig,
+    mode: int = PLANAR_3DOF,
+):
+    """Batch plane matching of one query against all keyframes, sharded over
+    the leading keyframe axis.  Returns (n_matches, area, pose, info, obs)
+    with the keyframe axis sharded across the mesh."""
+
+    def local(map_shard, gate_shard, query_rep):
+        def one(kf_planes, g):
+            pairs, n = match_planes(kf_planes, query_rep, cfg, mode)
+            pose, info, obs = pose_from_matches(kf_planes, query_rep, pairs, n)
+            vm = pairs[:, 0] >= 0
+            area = jnp.sum(
+                jnp.where(vm, kf_planes.area[jnp.clip(pairs[:, 0], 0, None)], 0.0)
+            )
+            return jnp.where(g, n, 0), area, pose, info, obs & g
+
+        return jax.vmap(one)(map_shard, gate_shard)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("kf"), P("kf"), P()),
+        out_specs=(P("kf"), P("kf"), P("kf"), P("kf"), P("kf")),
+    )
+    return jax.jit(fn)(map_planes, gate, query)
+
+
+# ------------------------------------------------------------ pair align
+
+
+def sharded_pair_align(mesh: Mesh, src_gray, src_depth, trg_pack, poses, cfg, method):
+    """One dense GN sweep for a batch of pairs, sharded over the pair axis.
+
+    Returns per-pair (hessian, gradient, mean_err) sharded over 'kf'.
+    """
+    from rgbd360_tpu.registration import dense as D
+
+    def local(sg, sd, tp, ps):
+        def one(g, d, t, p):
+            pts, valid = D._src_points(d, cfg)
+            h, gr, stats = D._hess_grad_packed(g, pts, valid, t, p, cfg, method)
+            return h, gr, stats["mean_err"]
+
+        return jax.vmap(one)(sg, sd, tp, ps)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("kf"), P("kf"), P("kf"), P("kf")),
+        out_specs=(P("kf"), P("kf"), P("kf")),
+    )
+    return jax.jit(fn)(src_gray, src_depth, trg_pack, poses)
+
+
+# ------------------------------------------------------- distributed graph
+
+
+def _local_normal_contribs(poses, graph: PoseGraph):
+    """Per-edge H/b contributions for the edges in this shard (same math as
+    slam.graph._graph_normal_equations, minus the global scatter)."""
+    e, i, j = _edge_residuals(poses, graph)
+    w = graph.emask.astype(poses.dtype)
+    tj = poses[j]
+    a = _adjoint(se3.se3_inverse(tj))
+    lam = graph.info * w[:, None, None]
+    aw = jnp.einsum("eki,ekl->eil", a, lam)
+    h_jj = jnp.einsum("eil,elm->eim", aw, a)
+    b_j = jnp.einsum("eil,el->ei", aw, e)
+    chi2 = jnp.sum(jnp.einsum("ei,eil,el->e", e, lam, e))
+    return h_jj, b_j, i, j, chi2
+
+
+@partial(jax.jit, static_argnames=("mesh", "max_iters"))
+def distributed_pose_graph(
+    mesh: Mesh,
+    graph: PoseGraph,
+    max_iters: int = 10,
+    lm_lambda0: float = 1e-5,
+    lm_step: float = 10.0,
+):
+    """Pose-graph LM with edge-sharded normal-equation assembly.
+
+    Poses are replicated; the edge arrays shard over the mesh; a psum forms
+    the global H/b on every device; the dense solve is replicated.  Returns
+    (poses, chi2, iters), numerically identical to
+    `slam.graph.optimize_pose_graph`.
+    """
+    n = graph.poses.shape[0]
+
+    def local_assemble(poses, edges_ij, rel, info, emask):
+        g_local = PoseGraph(
+            poses=poses,
+            vmask=jnp.ones((n,), bool),
+            edges_ij=edges_ij,
+            rel=rel,
+            info=info,
+            emask=emask,
+        )
+        h_jj, b_j, i, j, chi2 = _local_normal_contribs(poses, g_local)
+        hblocks = jnp.zeros((n, n, 6, 6))
+        hblocks = hblocks.at[j, j].add(h_jj)
+        hblocks = hblocks.at[i, i].add(h_jj)
+        hblocks = hblocks.at[i, j].add(-h_jj)
+        hblocks = hblocks.at[j, i].add(-h_jj)
+        b = jnp.zeros((n, 6))
+        b = b.at[j].add(b_j)
+        b = b.at[i].add(-b_j)
+        # the BA collective: reduce partial normal equations over the mesh
+        hblocks = jax.lax.psum(hblocks, "kf")
+        b = jax.lax.psum(b, "kf")
+        chi2 = jax.lax.psum(chi2, "kf")
+        return hblocks, b, chi2
+
+    assemble = shard_map(
+        local_assemble,
+        mesh=mesh,
+        in_specs=(P(), P("kf"), P("kf"), P("kf"), P("kf")),
+        out_specs=(P(), P(), P()),
+    )
+
+    vmask = graph.vmask
+
+    def normal_eq(poses):
+        hblocks, b, chi2 = assemble(
+            poses, graph.edges_ij, graph.rel, graph.info, graph.emask
+        )
+        eye6 = jnp.eye(6)
+        prior = jnp.where(vmask, 1e-6, 1.0)[:, None, None] * eye6[None]
+        prior = prior.at[0].add(1e6 * eye6)
+        d_idx = jnp.arange(n)
+        hblocks = hblocks.at[d_idx, d_idx].add(prior)
+        h = hblocks.transpose(0, 2, 1, 3).reshape(n * 6, n * 6)
+        return h, b.reshape(-1), chi2
+
+    def body(carry):
+        poses, lam, chi2_prev, it, done = carry
+        h, b, chi2 = normal_eq(poses)
+        diag = jnp.diag(jnp.diag(h))
+        delta = -jnp.linalg.solve(h + lam * diag + 1e-9 * jnp.eye(n * 6), b)
+        new_poses = jax.vmap(lambda d, t: se3.se3_exp(d) @ t)(
+            delta.reshape(n, 6), poses
+        )
+        _, _, chi2_new = normal_eq(new_poses)
+        improved = chi2_new < chi2
+        rel_impr = (chi2 - chi2_new) / jnp.maximum(chi2, 1e-12)
+        return (
+            jnp.where(improved, new_poses, poses),
+            jnp.where(improved, lam / lm_step, lam * lm_step),
+            jnp.where(improved, chi2_new, chi2),
+            it + 1,
+            done | (improved & (rel_impr < 1e-6)),
+        )
+
+    def cond(carry):
+        _, _, _, it, done = carry
+        return (it < max_iters) & ~done
+
+    chi2_0 = normal_eq(graph.poses)[2]
+    poses, _, chi2, iters, _ = jax.lax.while_loop(
+        cond,
+        body,
+        (graph.poses, jnp.array(lm_lambda0), chi2_0, jnp.array(0), jnp.array(False)),
+    )
+    return poses, chi2, iters

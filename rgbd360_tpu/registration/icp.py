@@ -1,0 +1,142 @@
+"""Projective ICP on spherical range images.
+
+Covers the reference's geometric-only fallbacks: `alignPyramidICP`
+(point-to-point ICP over depth pyramids, reference
+`include/RegisterPhotoICP.h:4800-4903`) and the PCL GICP refinement used by
+`RegisterPairRGBD360` (reference `Registration/RegisterPairRGBD360.cpp:
+112-142`).  Data association is projective (warp into the target's spherical
+grid — no KD-tree needed), and the error metric is selectable:
+
+  * point-to-point (the reference ICP), or
+  * point-to-plane with target normals (GICP-class accuracy, and the better
+    default on structured indoor scenes).
+
+Everything is one jitted coarse-to-fine Gauss-Newton like the dense
+aligner; on TPU the per-level sweep is gathers + a (N, 6) x (6, N) matmul.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from rgbd360_tpu.config import DenseRegConfig
+from rgbd360_tpu.ops import camera, se3
+
+POINT_TO_POINT = 0
+POINT_TO_PLANE = 1
+
+
+def _target_normals(depth):
+    """Cheap organized normals on the spherical grid from central
+    differences of backprojected points."""
+    pts = camera.sphere_backproject(depth)
+    du = jnp.roll(pts, -1, axis=1) - jnp.roll(pts, 1, axis=1)
+    dv = jnp.roll(pts, -1, axis=0) - jnp.roll(pts, 1, axis=0)
+    n = jnp.cross(dv, du)
+    norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    n = n / jnp.maximum(norm, 1e-9)
+    flip = jnp.sum(n * pts, axis=-1, keepdims=True) > 0
+    n = jnp.where(flip, -n, n)
+    return jnp.where((depth > 0)[..., None] & (norm > 1e-9), n, 0.0)
+
+
+def _icp_sweep(pose, src_pts, src_valid, trg_pts, trg_norm, trg_valid, cfg, variant, max_corr_dist):
+    h, w = src_valid.shape
+    tp = src_pts @ pose[:3, :3].T + pose[:3, 3]
+    rc, _ = camera.sphere_project(tp, h, w)
+    r = jnp.clip(jnp.round(rc[..., 0]).astype(jnp.int32), 0, h - 1)
+    c = jnp.round(rc[..., 1]).astype(jnp.int32) % w
+    inb = (rc[..., 0] >= 0) & (rc[..., 0] < h) & src_valid
+
+    q = trg_pts[r, c]
+    qn = trg_norm[r, c]
+    qv = trg_valid[r, c]
+    diff = q - tp
+    dist = jnp.linalg.norm(diff, axis=-1)
+    m = inb & qv & (dist < max_corr_dist)
+    wgt = m.astype(jnp.float32)
+
+    if variant == POINT_TO_PLANE:
+        # residual: n . (q - T p); jacobian row: [n | (T p) x n]
+        rres = jnp.sum(qn * diff, axis=-1)
+        jac = jnp.concatenate([qn, jnp.cross(tp, qn)], axis=-1)
+        jf = (jac * wgt[..., None]).reshape(-1, 6)
+        rf = (rres * wgt).reshape(-1)
+        hess = jf.T @ jf
+        # r(d) ~ r0 - J d  =>  d* = (J^T J)^-1 J^T r0
+        grad = jf.T @ rf
+        err2 = jnp.sum(rf * rf)
+    else:
+        # residual vector q - T p; jacobian [I | -skew(T p)] row-blocks
+        eye = jnp.broadcast_to(jnp.eye(3), tp.shape[:-1] + (3, 3))
+        jblk = jnp.concatenate([eye, -se3.skew(tp)], axis=-1)  # (..., 3, 6)
+        jblk = jblk * wgt[..., None, None]
+        rblk = diff * wgt[..., None]
+        j2 = jblk.reshape(-1, 3, 6)
+        r2 = rblk.reshape(-1, 3)
+        hess = jnp.einsum("nij,nik->jk", j2, j2)
+        grad = jnp.einsum("nij,ni->j", j2, r2)
+        err2 = jnp.sum(r2 * r2)
+
+    n_corr = jnp.sum(wgt)
+    return hess, grad, err2, n_corr
+
+
+class ICPAligner:
+    """Coarse-to-fine projective ICP over spherical depth pyramids."""
+
+    def __init__(
+        self,
+        cfg: DenseRegConfig = DenseRegConfig(),
+        variant: int = POINT_TO_PLANE,
+        max_corr_dist: float = 0.4,
+        iters_per_level: int = 10,
+    ):
+        self.cfg = cfg
+        self.variant = variant
+        self.max_corr_dist = max_corr_dist
+        self.iters = iters_per_level
+        self._align = jax.jit(self._align_impl)
+
+    def align(self, src_depth_pyr, trg_depth_pyr, init_pose=None):
+        """src/trg: tuples of spherical depth images (level 0 first).
+
+        Returns (pose T_trg<-src, hessian, rms error, n_correspondences).
+        """
+        if init_pose is None:
+            init_pose = jnp.eye(4)
+        return self._align(tuple(src_depth_pyr), tuple(trg_depth_pyr), init_pose)
+
+    def _align_impl(self, src_pyr, trg_pyr, init_pose):
+        cfg = self.cfg
+        pose = init_pose
+        hess_out = jnp.zeros((6, 6))
+        err = jnp.array(0.0)
+        n_corr = jnp.array(0.0)
+        for lvl in reversed(range(len(src_pyr))):
+            sd = src_pyr[lvl]
+            td = trg_pyr[lvl]
+            src_pts = camera.sphere_backproject(sd)
+            src_valid = (sd > cfg.min_depth) & (sd < cfg.max_depth)
+            trg_pts = camera.sphere_backproject(td)
+            trg_norm = _target_normals(td)
+            trg_valid = (td > cfg.min_depth) & (td < cfg.max_depth)
+
+            def body(i, carry):
+                pose, _, _, _ = carry
+                hess, grad, err2, n = _icp_sweep(
+                    pose, src_pts, src_valid, trg_pts, trg_norm, trg_valid,
+                    cfg, self.variant, self.max_corr_dist,
+                )
+                bad = (jnp.linalg.det(hess) < 1e-10) | (n < 100)
+                hsafe = jnp.where(bad, jnp.eye(6), hess + 1e-6 * jnp.eye(6))
+                delta = jnp.linalg.solve(hsafe, grad)
+                delta = jnp.where(bad, jnp.zeros(6), delta)
+                return (se3.se3_exp(delta) @ pose, hess, err2, n)
+
+            pose, hess_out, err2, n_corr = jax.lax.fori_loop(
+                0, self.iters, body, (pose, hess_out, err, n_corr)
+            )
+            err = jnp.sqrt(err2 / jnp.maximum(n_corr, 1.0))
+        return pose, hess_out, err, n_corr

@@ -173,9 +173,12 @@ def match_planes(
         )
         return (jnp.where(ok, cand_next, cand_live), chosen, n + ok.astype(jnp.int32)), None
 
-    chosen0 = jnp.full((m_cap, 2), -1, dtype=jnp.int32)
+    # derive the carry init from the input so its sharding/varying axes
+    # match under shard_map (constants would fail the scan VMA check)
+    zero = (jnp.sum(cand) * 0).astype(jnp.int32)
+    chosen0 = jnp.full((m_cap, 2), -1, dtype=jnp.int32) + zero
     (cand_f, chosen, n), _ = jax.lax.scan(
-        body, (cand, chosen0, jnp.int32(0)), None, length=m_cap
+        body, (cand, chosen0, zero), None, length=m_cap
     )
     return chosen, n
 
