@@ -1,0 +1,144 @@
+"""Extrinsic rig calibration suite (reference `Calibration/` apps:
+GetControlPlanes, Calibrator, PairCalibrator, EvalCalibration).
+
+Subcommands:
+  collect   — extract control planes from a capture directory
+  solve     — joint 8-sensor calibration from control planes
+  pair      — pairwise calibration for one sensor pair
+  eval      — evaluate a calibration (residuals, conditioning) and compare
+              against another (e.g. the shipped Rt files)
+
+Usage:
+    python -m rgbd360_tpu.apps.calibrate collect DATASET_DIR --out cp.txt
+    python -m rgbd360_tpu.apps.calibrate solve cp.txt --out DIR [--from-spec]
+    python -m rgbd360_tpu.apps.calibrate pair cp.txt --sensors 0 1
+    python -m rgbd360_tpu.apps.calibrate eval cp.txt [--rt DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+
+from rgbd360_tpu.apps._common import add_calib_args, load_calib
+
+
+def cmd_collect(args):
+    from rgbd360_tpu.calibration import collect_control_planes
+    from rgbd360_tpu.core.frame import FrameBuilder
+    from rgbd360_tpu.io.dataset import SequenceDataset
+
+    calib = load_calib(args)
+    builder = FrameBuilder(calib)
+    ds = SequenceDataset(args.dataset)
+    frames = []
+    for raw in ds:
+        f = builder.build_from_raw(raw)
+        frames.append(
+            (np.asarray(f.local_xyz), np.asarray(f.cloud_rgb), np.asarray(f.cloud_valid))
+        )
+    cp = collect_control_planes(frames, np.asarray(calib.rt, np.float64))
+    total = sum(cp.count(a, b) for (a, b) in cp.pairs)
+    for (a, b) in sorted(cp.pairs):
+        print(f"pair ({a},{b}): {cp.count(a, b)} correspondences")
+    cp.save(args.out)
+    print(f"saved {total} control planes to {args.out}")
+
+
+def cmd_solve(args):
+    from rgbd360_tpu.calibration import RigCalibrator
+    from rgbd360_tpu.calibration.control_planes import ControlPlanes
+    from rgbd360_tpu.calibration.solver import construction_spec_rt
+
+    cp = ControlPlanes.load(args.control_planes)
+    rt0 = None
+    if not args.from_spec:
+        calib = load_calib(args)
+        rt0 = np.asarray(calib.rt, np.float64)
+    rt, diag = RigCalibrator().calibrate(cp, rt0, prior_weight=args.prior)
+    print(f"conditioning={diag['conditioning']:.1f} "
+          f"(ok={diag['well_conditioned']}), rot_error={diag['rot_error']:.5f}, "
+          f"n={diag['n_correspondences']}")
+    if args.out:
+        outdir = Path(args.out)
+        outdir.mkdir(parents=True, exist_ok=True)
+        for s in range(rt.shape[0]):
+            np.savetxt(outdir / f"Rt_0{s + 1}.txt", rt[s], fmt="%9.6f")
+        print(f"wrote Rt_0*.txt to {outdir}")
+
+
+def cmd_pair(args):
+    from rgbd360_tpu.calibration import PairCalibrator
+    from rgbd360_tpu.calibration.control_planes import ControlPlanes
+
+    cp = ControlPlanes.load(args.control_planes)
+    a, b = args.sensors
+    key = (a, b) if (a, b) in cp.pairs else (b, a)
+    if key not in cp.pairs:
+        raise SystemExit(f"no correspondences for pair {a},{b}")
+    p = cp.pairs[key]
+    rt, diag = PairCalibrator().calibrate(p["n_a"], p["d_a"], p["n_b"], p["d_b"], p["w"])
+    print(f"pair {key}: conditioning={diag['conditioning']:.1f} "
+          f"rot_error={diag['rot_error']:.6f}")
+    print(np.round(rt, 5))
+
+
+def cmd_eval(args):
+    from rgbd360_tpu.calibration.control_planes import ControlPlanes
+    from rgbd360_tpu.calibration.solver import conditioning
+
+    cp = ControlPlanes.load(args.control_planes)
+    calib = load_calib(args)
+    rt = np.asarray(calib.rt, np.float64)
+    print("pair  n   conditioning  rot_residual  trans_residual")
+    for (a, b), p in sorted(cp.pairs.items()):
+        rel = np.linalg.inv(rt[a]) @ rt[b]
+        nb_in_a = p["n_b"] @ rel[:3, :3].T
+        rot_res = float(np.mean(1.0 - np.sum(p["n_a"] * nb_in_a, axis=1)))
+        # offset residual: n_a.t = d_b' - d_a with d_b' = d_b - nb_in_a.t ...
+        db_in_a = p["d_b"] - nb_in_a @ rel[:3, 3]
+        t_res = float(np.mean(np.abs(p["d_a"] - db_in_a)))
+        print(f"({a},{b})  {len(p['w']):3d}  {conditioning(p['n_a']):10.1f}  "
+              f"{rot_res:.6f}      {t_res:.4f}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pc = sub.add_parser("collect")
+    pc.add_argument("dataset")
+    pc.add_argument("--out", required=True)
+    add_calib_args(pc)
+    pc.set_defaults(fn=cmd_collect)
+
+    ps = sub.add_parser("solve")
+    ps.add_argument("control_planes")
+    ps.add_argument("--out", default=None)
+    ps.add_argument("--from-spec", action="store_true",
+                    help="seed from the construction spec instead of Rt files")
+    ps.add_argument("--prior", type=float, default=0.0,
+                    help="quadratic prior weight anchoring to the seed "
+                    "(use >0 to refine an existing calibration from sparse data)")
+    add_calib_args(ps)
+    ps.set_defaults(fn=cmd_solve)
+
+    pp = sub.add_parser("pair")
+    pp.add_argument("control_planes")
+    pp.add_argument("--sensors", type=int, nargs=2, required=True)
+    add_calib_args(pp)
+    pp.set_defaults(fn=cmd_pair)
+
+    pe = sub.add_parser("eval")
+    pe.add_argument("control_planes")
+    add_calib_args(pe)
+    pe.set_defaults(fn=cmd_eval)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

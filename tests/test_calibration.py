@@ -1,0 +1,139 @@
+"""Extrinsic calibration tests: pairwise + joint, synthetic and real."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from rgbd360_tpu.calibration import (
+    ControlPlanes,
+    PairCalibrator,
+    RigCalibrator,
+    calibrate_pair_rotation,
+    calibrate_pair_translation,
+    conditioning,
+)
+from rgbd360_tpu.calibration.solver import construction_spec_rt
+from rgbd360_tpu.ops import se3
+
+
+def _observe(rt, planes_rig):
+    """Plane (n, d) in rig -> (n_s, d_s) in sensor s with x_rig = rt x_s:
+    n_s = R^T n, d_s = d + n . t."""
+    r = rt[:3, :3]
+    t = rt[:3, 3]
+    n, d = planes_rig
+    return n @ r, d + n @ t
+
+
+def _random_planes(k=30, seed=0):
+    rng = np.random.default_rng(seed)
+    n = rng.normal(size=(k, 3))
+    n /= np.linalg.norm(n, axis=1, keepdims=True)
+    d = rng.uniform(0.5, 4.0, k)
+    return n, d
+
+
+class TestPairCalibration:
+    def test_recover_known_extrinsic(self):
+        rng = np.random.default_rng(1)
+        rt_true = np.asarray(se3.se3_exp(jnp.array([0.05, -0.03, 0.02, 0.1, 0.7, -0.05])))
+        planes = _random_planes()
+        n_a, d_a = _observe(np.eye(4), planes)
+        n_b, d_b = _observe(rt_true, planes)
+        # x_a = rt x_b with rt = inv(I) @ rt_true
+        n_a += rng.normal(0, 0.002, n_a.shape)
+        rt, diag = PairCalibrator().calibrate(n_a, d_a, n_b, d_b)
+        err = np.asarray(se3.se3_log(jnp.asarray(np.linalg.inv(rt) @ rt_true)))
+        assert np.linalg.norm(err[:3]) < 0.02, rt
+        assert np.linalg.norm(err[3:]) < 0.01
+        assert diag["well_conditioned"]
+
+    def test_degenerate_conditioning_flagged(self):
+        # all-parallel normals: translation unobservable
+        n = np.tile(np.array([1.0, 0, 0]), (20, 1))
+        assert conditioning(n) > 8000.0
+
+
+class TestJointCalibration:
+    def _make_cp(self, rt_true, noise=0.0, k=40, seed=0):
+        rng = np.random.default_rng(seed)
+        s_n = rt_true.shape[0]
+        cp = ControlPlanes(s_n)
+        planes = _random_planes(k, seed)
+        for s in range(s_n):
+            a, b = s, (s + 1) % s_n
+            n_a, d_a = _observe(rt_true[a], planes)
+            n_b, d_b = _observe(rt_true[b], planes)
+            # keep only planes well-visible to both (grazing angle gate)
+            za = n_a[:, 2]
+            zb = n_b[:, 2]
+            keep = (np.abs(za) > 0.15) & (np.abs(zb) > 0.15)
+            n_a = n_a + rng.normal(0, noise, n_a.shape)
+            n_a /= np.linalg.norm(n_a, axis=1, keepdims=True)
+            cp.add(a, b, n_a[keep], d_a[keep], n_b[keep], d_b[keep])
+        return cp
+
+    def test_recover_reference_rig(self, calibration):
+        """Recover the REAL reference extrinsics from synthetic control
+        planes, starting at the construction-spec prior."""
+        rt_true = np.asarray(calibration.rt, np.float64)
+        cp = self._make_cp(rt_true, noise=0.001)
+        rt0 = rt_true.copy()
+        # perturb the initial guess of every non-fixed sensor
+        rng = np.random.default_rng(3)
+        for s in range(1, 8):
+            xi = np.concatenate([rng.normal(0, 0.02, 3), rng.normal(0, 0.05, 3)])
+            rt0[s] = rt0[s] @ np.asarray(se3.se3_exp(jnp.asarray(xi)))
+        rt_est, diag = RigCalibrator().calibrate(cp, rt0)
+        # gauge: sensor 0 fixed; compare relative poses to truth
+        for s in range(1, 8):
+            rel_est = np.linalg.inv(rt_est[0]) @ rt_est[s]
+            rel_true = np.linalg.inv(rt_true[0]) @ rt_true[s]
+            err = np.asarray(se3.se3_log(jnp.asarray(np.linalg.inv(rel_est) @ rel_true)))
+            assert np.linalg.norm(err[:3]) < 0.02, (s, err)
+            assert np.linalg.norm(err[3:]) < 0.01, (s, err)
+        assert diag["rot_error"] < 0.01
+
+    def test_construction_spec_geometry(self):
+        rt = construction_spec_rt()
+        # 8 rigid transforms, optical axes 45 deg apart in the y-z plane
+        for s in range(8):
+            r = rt[s, :3, :3]
+            np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-9)
+        z_axes = rt[:, :3, 2]
+        for s in range(8):
+            cos = z_axes[s] @ z_axes[(s + 1) % 8]
+            np.testing.assert_allclose(cos, np.cos(np.pi / 4), atol=1e-9)
+
+
+class TestControlPlanes:
+    def test_save_load_roundtrip(self, tmp_path):
+        cp = ControlPlanes(8)
+        cp.add(0, 1, [[1, 0, 0]], [1.0], [[0, 1, 0]], [2.0], [5.0])
+        cp.add(1, 2, [[0, 0, 1]], [0.5], [[0, 1, 0]], [1.5])
+        p = str(tmp_path / "cp.txt")
+        cp.save(p)
+        cp2 = ControlPlanes.load(p)
+        assert cp2.count(0, 1) == 1 and cp2.count(1, 2) == 1
+        np.testing.assert_allclose(cp2.pairs[(0, 1)]["d_b"], [2.0])
+
+    def test_collect_from_real_frames(self, calibration, sample_paths):
+        """Extract control planes from the real sample and check they are
+        consistent with the shipped calibration."""
+        from rgbd360_tpu.calibration import collect_control_planes
+        from rgbd360_tpu.core.frame import FrameBuilder
+        from rgbd360_tpu.io.bin_format import read_rig_frame
+
+        b = FrameBuilder(calibration)
+        f = b.build_from_raw(read_rig_frame(sample_paths[0]))
+        frames = [(np.asarray(f.local_xyz), np.asarray(f.cloud_rgb), np.asarray(f.cloud_valid))]
+        cp = collect_control_planes(frames, np.asarray(calibration.rt, np.float64))
+        total = sum(cp.count(a, b_) for (a, b_) in cp.pairs)
+        assert total >= 4, total
+        # matched planes must agree under the shipped extrinsics
+        for (a, bb), p in cp.pairs.items():
+            rel = np.linalg.inv(calibration.rt[a].astype(np.float64)) @ calibration.rt[bb].astype(np.float64)
+            nb_in_a = p["n_b"] @ rel[:3, :3].T
+            cos = np.sum(p["n_a"] * nb_in_a, axis=1)
+            assert cos.min() > 0.98, (a, bb, cos)
