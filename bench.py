@@ -29,6 +29,8 @@ def main() -> None:
     from rgbd360_tpu.ops import stitch as stitch_ops
     from rgbd360_tpu.registration import dense as D
 
+    from rgbd360_tpu.core.frame import RigFrame
+
     calib = load_calibration(
         "/root/reference/Calibration/Extrinsics",
         "/root/reference/Calibration/Intrinsics",
@@ -37,23 +39,20 @@ def main() -> None:
     raw1 = read_rig_frame("/root/reference/samples/sphere_images_1.bin")
     raw2 = read_rig_frame("/root/reference/samples/sphere_images_10.bin")
     cfg = DenseRegConfig()
-    seam = stitch_ops.seam_mask_from_maps(builder.maps, 1)
-    pyr = jax.jit(lambda g, d: D.build_frame_pyramid(g, d, cfg, seam))
     aligner = D.DenseAligner(cfg)
 
-    f2 = builder.build_from_raw(raw2)
-    p2 = pyr(f2.sphere_gray, f2.sphere_depth)
+    _, p2 = builder.build_with_pyramid(RigFrame.from_raw(raw2))
 
     # warm-up / compile
-    f1 = builder.build_from_raw(raw1)
-    res = aligner.align(pyr(f1.sphere_gray, f1.sphere_depth), p2, method=D.PHOTO_DEPTH)
+    _, p1 = builder.build_with_pyramid(RigFrame.from_raw(raw1))
+    res = aligner.align(p1, p2, method=D.PHOTO_DEPTH)
     jax.block_until_ready(res.pose)
 
     n = 20
     t0 = time.time()
     for i in range(n):
-        f = builder.build_from_raw(raw1 if i % 2 else raw2)
-        p = pyr(f.sphere_gray, f.sphere_depth)
+        rig = RigFrame.from_raw(raw1 if i % 2 else raw2)
+        _, p = builder.build_with_pyramid(rig)
         res = aligner.align(p, p2, method=D.PHOTO_DEPTH)
     jax.block_until_ready(res.pose)
     fps = n / (time.time() - t0)

@@ -32,8 +32,9 @@ from rgbd360_tpu.ops import segmentation as seg_ops
 class RigFrame:
     """Raw rig capture on device.
 
-    rgb:   (S, H, W, 3) float32 (BGR, 0..255 as captured).
-    depth: (S, H, W) float32 meters, 0 = invalid.
+    rgb:   (S, H, W, 3) uint8 BGR as captured (cast to float on device —
+           transferring u8 is 4x cheaper than f32 over the host link).
+    depth: (S, H, W) uint16 millimeters, 0 = invalid.
     """
 
     rgb: jnp.ndarray
@@ -42,8 +43,8 @@ class RigFrame:
     @staticmethod
     def from_raw(raw) -> "RigFrame":
         return RigFrame(
-            rgb=jnp.asarray(raw.rgb, dtype=jnp.float32),
-            depth=jnp.asarray(raw.depth_mm, dtype=jnp.float32) * 0.001,
+            rgb=jnp.asarray(raw.rgb),
+            depth=jnp.asarray(raw.depth_mm),
         )
 
 
@@ -123,8 +124,14 @@ class FrameBuilder:
                 calib.clams_bin_height,
                 calib.clams_bin_depth,
             )
+            # per-pixel tables: one-time expansion -> gather-free undistort
+            self._clams_pixeltabs = undistort_ops.precompute_pixel_tables(
+                self.clams[0], self.clams[1], calib.clams_bin_width,
+                calib.clams_bin_height, rig.height, rig.width,
+            )
         else:
             self.clams = None
+            self._clams_pixeltabs = None
         # Calibration tensors are passed as jit *arguments* (not closure
         # constants) so XLA does not constant-fold the big gather maps.
         self._params = dict(
@@ -137,8 +144,8 @@ class FrameBuilder:
             k=self.k,
         )
         if self.clams is not None:
-            self._params["clams_mult"] = self.clams[0]
-            self._params["clams_counts"] = self.clams[1]
+            self._params["clams_m_img"] = self._clams_pixeltabs[0]
+            self._params["clams_c_img"] = self._clams_pixeltabs[1]
         self._build = jax.jit(self._build_impl)
 
     # -------------------------------------------------------------- stages
@@ -152,11 +159,17 @@ class FrameBuilder:
         return RigFrame(rgb=frame.rgb, depth=depth)
 
     def _build_impl(self, params, rgb: jnp.ndarray, depth_raw: jnp.ndarray) -> SphereFrame:
-        # 1. undistort depth
+        # 0. on-device dtype normalization (inputs may be u8/u16 raw)
+        if rgb.dtype != jnp.float32:
+            rgb = rgb.astype(jnp.float32)
+        if depth_raw.dtype != jnp.float32:
+            depth_raw = depth_raw.astype(jnp.float32) * 0.001
+
+        # 1. undistort depth (gather-free pixel-table form)
         if self.clams is not None:
-            _, _, bw, bh, bd = self.clams
-            depth = undistort_ops.undistort_depth(
-                depth_raw, params["clams_mult"], params["clams_counts"], bw, bh, bd
+            bd = self.clams[4]
+            depth = undistort_ops.undistort_depth_pixeltab(
+                depth_raw, params["clams_m_img"], params["clams_c_img"], bd
             )
         else:
             depth = depth_raw
@@ -206,6 +219,28 @@ class FrameBuilder:
 
     def build_from_raw(self, raw) -> SphereFrame:
         return self.build(RigFrame.from_raw(raw))
+
+    def build_with_pyramid(self, frame: RigFrame):
+        """Fused frame build + alignment pyramid in ONE jitted program —
+        one device dispatch per frame instead of two (dispatch latency on a
+        remote-attached TPU is several ms and would otherwise dominate)."""
+        if not hasattr(self, "_build_pyr"):
+            from rgbd360_tpu.ops import stitch as _st
+            from rgbd360_tpu.registration import dense as _D
+
+            seam = _st.seam_mask_from_maps(self.maps, 1)
+            dense_cfg = self.config.dense
+
+            def impl(params, rgb, depth_raw, seam_valid):
+                sphere = self._build_impl(params, rgb, depth_raw)
+                pyr = _D.build_frame_pyramid(
+                    sphere.sphere_gray, sphere.sphere_depth, dense_cfg, seam_valid
+                )
+                return sphere, pyr
+
+            self._seam_valid = seam
+            self._build_pyr = jax.jit(impl)
+        return self._build_pyr(self._params, frame.rgb, frame.depth, self._seam_valid)
 
     # ------------------------------------------------------------- planes
 

@@ -122,12 +122,19 @@ def stitch(
 
     rgb:   (S, H, W, 3) any dtype; depth: (S, H, W) float32 meters.
     Returns (sphere_rgb (H', W', 3) same dtype as float32, sphere_depth (H', W')).
+
+    RGB and depth are packed into one (S, H, W, 4) tensor first so the warp
+    is a single contiguous 4-vector gather per sphere pixel (a gather per
+    channel is several times slower on TPU).
     """
     s, v, u = maps.sensor, maps.v, maps.u
-    rgb_out = rgb[s, v, u].astype(jnp.float32)
-    d = depth[s, v, u]
+    pack = jnp.concatenate(
+        [rgb.astype(jnp.float32), depth[..., None].astype(jnp.float32)], axis=-1
+    )
+    vals = pack[s, v, u]  # (H', W', 4)
+    rgb_out = jnp.where(maps.valid[..., None], vals[..., :3], 0.0)
+    d = vals[..., 3]
     depth_out = jnp.where(maps.valid & (d > 0), d * maps.scale, 0.0)
-    rgb_out = jnp.where(maps.valid[..., None], rgb_out, 0.0)
     return rgb_out, depth_out
 
 

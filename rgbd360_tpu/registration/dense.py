@@ -163,12 +163,27 @@ def _huber(err, scale):
     return jnp.where(a < scale, 1.0, w)
 
 
-def _residual_terms(src_gray, pts, valid_src, trg_pack, pose, cfg, method):
-    """Per-pixel weighted residuals + masks for one pyramid level."""
+def _residual_terms(src_gray, pts, valid_src, trg_pack, pose, cfg, method, occlusion=0):
+    """Per-pixel weighted residuals + masks for one pyramid level.
+
+    occlusion=1 adds a z-buffer test: where several source points project to
+    the same target pixel only the nearest stays valid (the reference's
+    `_sphereOcc1` variants, `RegisterPhotoICP.h:3232-3718`).
+    occlusion=2 additionally drops residuals exceeding the depth-outlier
+    threshold — moving-object rejection (`_sphereOcc2` + the
+    `mask_dynamic_occlusion` machinery, `:3720-4250`)."""
     h, w = src_gray.shape
     wt = _warp_terms(pose, pts, valid_src, h, w)
     r, c = wt["r"], wt["c"]
     tv = trg_pack[r, c]  # (H, W, 6): one gather for all target channels
+
+    if occlusion >= 1:
+        # scatter-min z-buffer on the target grid; a projecting point that
+        # is farther than the winner at its pixel is occluded
+        rho_w = jnp.where(wt["visible"], wt["rho"], jnp.inf)
+        zbuf = jnp.full((h, w), jnp.inf).at[r, c].min(rho_w)
+        occluded = wt["rho"] > zbuf[r, c] + 0.05
+        wt["visible"] = wt["visible"] & ~occluded
 
     out = dict(visible=wt["visible"], tp=wt["tp"], rho=wt["rho"])
     if method in (PHOTO_CONSISTENCY, PHOTO_DEPTH):
@@ -192,6 +207,12 @@ def _residual_terms(src_gray, pts, valid_src, trg_pack, pose, cfg, method):
         s = cfg.std_depth * jnp.maximum(d2, 1e-3)
         w_d = _huber(diff, s) / s
         m = wt["visible"] & salient & has_d
+        if occlusion >= 2:
+            # dynamic-object / outlier rejection (thresDepthOutliers = 0.3,
+            # reference `alignFrames360:4525`)
+            dynamic = jnp.abs(diff) > 0.3
+            m = m & ~dynamic
+            out["dynamic_mask"] = dynamic & wt["visible"] & has_d
         out.update(
             depth_res=jnp.where(m, w_d * diff, 0.0),
             depth_w=jnp.where(m, w_d, 0.0),
@@ -202,11 +223,12 @@ def _residual_terms(src_gray, pts, valid_src, trg_pack, pose, cfg, method):
     return out
 
 
-def _mean_error(level_src, level_trg, pose, cfg, method):
+def _mean_error(level_src, level_trg, pose, cfg, method, occlusion=0):
     """sqrt(sum(weighted residual^2)/n) (reference `errorPhotoICP_sphere:2545`)."""
     pts, valid_src = _src_points(level_src["depth"], cfg)
     t = _residual_terms(
-        level_src["gray"], pts, valid_src, _pack_target(level_trg), pose, cfg, method
+        level_src["gray"], pts, valid_src, _pack_target(level_trg), pose, cfg,
+        method, occlusion,
     )
     err2 = 0.0
     n = 0
@@ -245,17 +267,18 @@ def _proj_jacobian(tp, w):
     )
 
 
-def _hess_grad(level_src, level_trg, pose, cfg, method):
+def _hess_grad(level_src, level_trg, pose, cfg, method, occlusion=0):
     """Assemble the 6x6 normal equations (wrapper building hoistable terms)."""
     pts, valid_src = _src_points(level_src["depth"], cfg)
     return _hess_grad_packed(
-        level_src["gray"], pts, valid_src, _pack_target(level_trg), pose, cfg, method
+        level_src["gray"], pts, valid_src, _pack_target(level_trg), pose, cfg,
+        method, occlusion,
     )
 
 
-def _hess_grad_packed(src_gray, pts, valid_src, trg_pack, pose, cfg, method):
+def _hess_grad_packed(src_gray, pts, valid_src, trg_pack, pose, cfg, method, occlusion=0):
     """Assemble the 6x6 normal equations for one GN iteration."""
-    t = _residual_terms(src_gray, pts, valid_src, trg_pack, pose, cfg, method)
+    t = _residual_terms(src_gray, pts, valid_src, trg_pack, pose, cfg, method, occlusion)
     tp = t["tp"]
     h, w = src_gray.shape
 
@@ -325,7 +348,9 @@ class DenseAligner:
 
     def __init__(self, cfg: DenseRegConfig = DenseRegConfig()):
         self.cfg = cfg
-        self._align = jax.jit(self._align_impl, static_argnames=("method",))
+        self._align = jax.jit(
+            self._align_impl, static_argnames=("method", "occlusion")
+        )
 
     def align(
         self,
@@ -333,10 +358,14 @@ class DenseAligner:
         trg: FramePyramid,
         init_pose: jnp.ndarray | None = None,
         method: int = PHOTO_DEPTH,
+        occlusion: int = 0,
     ) -> AlignResult:
+        """occlusion: 0 = plain, 1 = z-buffer occlusion test,
+        2 = occlusion + dynamic-object rejection (reference
+        `alignFrames360(..., occlusion)` modes)."""
         if init_pose is None:
             init_pose = jnp.eye(4)
-        return self._align(src, trg, init_pose, method=method)
+        return self._align(src, trg, init_pose, method=method, occlusion=occlusion)
 
     # implementation
 
@@ -350,7 +379,7 @@ class DenseAligner:
             depth_gy=pyr.depth_gy[lvl],
         )
 
-    def _align_impl(self, src, trg, init_pose, method):
+    def _align_impl(self, src, trg, init_pose, method, occlusion=0):
         cfg = self.cfg
         pose = init_pose
         iters = []
@@ -382,7 +411,7 @@ class DenseAligner:
             def body(carry):
                 cand, best, err_best, it, upd, diff, ill_l = carry
                 hess, grad, stats = _hess_grad_packed(
-                    src_gray, pts, valid_src, trg_pack, cand, cfg, method
+                    src_gray, pts, valid_src, trg_pack, cand, cfg, method, occlusion
                 )
                 err = stats["mean_err"]
                 # Observability guard (reference `:4682-4690`).
@@ -423,7 +452,7 @@ class DenseAligner:
         # average residuals; reference `:759-762`, `:3226`).
         lsrc = self._level_dicts(src, 0)
         ltrg = self._level_dicts(trg, 0)
-        hess_out, _, stats = _hess_grad(lsrc, ltrg, pose, cfg, method)
+        hess_out, _, stats = _hess_grad(lsrc, ltrg, pose, cfg, method, occlusion)
         size = lsrc["depth"].size
         sso = stats["visible"] / size
         av_photo = jnp.sqrt(

@@ -1,0 +1,124 @@
+"""Tests: occlusion-aware dense modes, metrics, trace, graph backend, labels."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from rgbd360_tpu.config import DenseRegConfig
+from rgbd360_tpu.ops import se3
+
+
+class TestOcclusionModes:
+    @pytest.fixture(scope="class")
+    def pyrs(self, calibration, sample_paths):
+        from rgbd360_tpu.core.frame import FrameBuilder
+        from rgbd360_tpu.io.bin_format import read_rig_frame
+        from rgbd360_tpu.registration import dense as D
+
+        b = FrameBuilder(calibration)
+        cfg = DenseRegConfig()
+        out = []
+        for p in sample_paths[:2]:
+            f = b.build_from_raw(read_rig_frame(p))
+            out.append(D.build_frame_pyramid(f.sphere_gray, f.sphere_depth, cfg))
+        return out
+
+    @pytest.mark.parametrize("occ", [1, 2])
+    def test_occlusion_agrees_with_plain(self, pyrs, occ):
+        from rgbd360_tpu.registration import dense as D
+
+        al = D.DenseAligner(DenseRegConfig())
+        r0 = al.align(pyrs[0], pyrs[1], method=D.PHOTO_DEPTH)
+        r = al.align(pyrs[0], pyrs[1], method=D.PHOTO_DEPTH, occlusion=occ)
+        assert not bool(r.ill_posed)
+        d = np.asarray(se3.se3_log(se3.se3_inverse(r.pose) @ r0.pose))
+        # occlusion handling shifts the optimum slightly, not wildly
+        assert np.linalg.norm(d[:3]) < 0.08, d
+        assert np.linalg.norm(d[3:]) < 0.05, d
+
+
+class TestMetrics:
+    def test_entropy_monotonic(self):
+        from rgbd360_tpu.utils.metrics import entropy
+
+        low_info = jnp.eye(6) * 1.0
+        high_info = jnp.eye(6) * 1000.0
+        assert float(entropy(high_info)) < float(entropy(low_info))
+
+    def test_tracking_score(self):
+        from rgbd360_tpu.utils import metrics as M
+
+        assert M.tracking_score(8, 10) == M.GOOD
+        assert M.tracking_score(4, 10) == M.WEAK
+        assert M.tracking_score(1, 10) == M.BAD
+
+    def test_rpe(self):
+        from rgbd360_tpu.utils.metrics import rpe
+
+        n = 10
+        gt = np.stack([np.eye(4)] * n)
+        for i in range(n):
+            gt[i][:3, 3] = [0, 0.1 * i, 0]
+        est = gt.copy()
+        est[:, 1, 3] += np.linspace(0, 0.05, n)  # growing drift
+        t_err, r_err = rpe(est, gt)
+        assert 0 < t_err < 0.02
+        assert r_err < 1e-6
+
+
+class TestTrace:
+    def test_stage_timer(self):
+        import time
+
+        from rgbd360_tpu.utils.trace import StageTimer
+
+        t = StageTimer()
+        with t.region("stitch"):
+            time.sleep(0.01)
+        with t.region("stitch"):
+            time.sleep(0.01)
+        rep = t.report()
+        assert "stitch" in rep
+        assert t.counts["stitch"] == 2
+        assert t.times["stitch"] >= 0.02
+
+
+class TestGraphBackend:
+    def test_incremental_api(self, tmp_path):
+        from rgbd360_tpu.slam.graph_backend import GraphOptimizerBackend
+
+        g = GraphOptimizerBackend(max_vertices=8, max_edges=8)
+        p0 = np.eye(4)
+        step = np.asarray(se3.se3_exp(jnp.array([1.0, 0, 0, 0, 0, 0])))
+        g.add_vertex(p0)
+        g.add_vertex(p0)  # wrong initial guess for vertex 1
+        g.add_edge(0, 1, step, np.eye(6) * 100)
+        chi2, iters = g.optimize()
+        poses = g.get_poses()
+        np.testing.assert_allclose(poses[1][:3, 3], [1, 0, 0], atol=1e-2)
+        g.save_graph(str(tmp_path / "g.txt"))
+        text = (tmp_path / "g.txt").read_text()
+        assert "VERTEX_SE3 0" in text and "EDGE_SE3 0 1" in text
+
+    def test_unknown_backend(self):
+        from rgbd360_tpu.slam.graph_backend import GraphOptimizerBackend
+
+        with pytest.raises(ValueError):
+            GraphOptimizerBackend(backend="ceres")
+
+
+class TestLabels:
+    def test_store_roundtrip(self, tmp_path):
+        from rgbd360_tpu.slam.labeling import LabelStore
+
+        st = LabelStore(capacity=8)
+        st.set_label(0, 2, "wall")
+        st.set_label(0, 3, "table", "object")
+        st.propagate(0, 1, np.array([[2, 5], [3, 1], [-1, -1]]))
+        assert st.get_label(1, 5) == "wall"
+        assert st.get_label(1, 1, "object") == "table"
+        p = str(tmp_path / "labels.json")
+        st.save(p)
+        st2 = LabelStore.load(p)
+        assert st2.get_label(1, 5) == "wall"
