@@ -1,0 +1,118 @@
+"""Tests: stereo I/O, bilateral filter, laser calibration, batch registration."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from rgbd360_tpu.ops import se3
+
+
+class TestStereoIO:
+    def test_depth_roundtrip(self, tmp_path, rng):
+        from rgbd360_tpu.io.stereo import read_stereo_depth, write_stereo_depth
+
+        d = rng.uniform(0.5, 8.0, (320, 1920)).astype(np.float32)
+        p = tmp_path / "d.bin"
+        write_stereo_depth(p, d)
+        back = read_stereo_depth(p)
+        np.testing.assert_array_equal(back, d)
+
+    def test_full_frame_with_png(self, tmp_path, rng):
+        from PIL import Image
+
+        from rgbd360_tpu.io.stereo import read_stereo_frame, write_stereo_depth
+
+        d = rng.uniform(1, 5, (64, 128)).astype(np.float32)
+        write_stereo_depth(tmp_path / "d.bin", d)
+        img = rng.integers(0, 255, (64, 128, 3), dtype=np.uint8)
+        Image.fromarray(img).save(tmp_path / "rgb.png")
+        f = read_stereo_frame(tmp_path / "d.bin", tmp_path / "rgb.png")
+        assert f.depth.shape == (64, 128)
+        assert f.rgb.shape == (64, 128, 3)
+        np.testing.assert_array_equal(f.rgb[..., ::-1], img)  # BGR storage
+
+    def test_truncated_raises(self, tmp_path):
+        from rgbd360_tpu.io.stereo import read_stereo_depth
+
+        p = tmp_path / "bad.bin"
+        p.write_bytes(b"\x10\x00\x10\x00abc")
+        with pytest.raises(ValueError):
+            read_stereo_depth(p)
+
+    def test_stereo_into_slam_path(self, calibration, tmp_path, rng):
+        """A stereo frame flows into the sphere-input tracking path."""
+        from rgbd360_tpu.core.frame import FrameBuilder
+
+        builder = FrameBuilder(calibration)
+        d = np.full((320, 1920), 3.0, np.float32)
+        ps = builder.segment_planes_from_sphere(jnp.asarray(d))
+        assert np.isfinite(np.asarray(ps.normal)).all()
+
+
+class TestBilateral:
+    def test_preserves_edges_smooths_noise(self, rng):
+        from rgbd360_tpu.ops.bilateral import bilateral_depth
+
+        d = np.full((64, 64), 2.0, np.float32)
+        d[:, 32:] = 4.0  # a depth edge
+        noisy = d + rng.normal(0, 0.01, d.shape).astype(np.float32)
+        out = np.asarray(bilateral_depth(jnp.asarray(noisy)))
+        # noise reduced on the flat parts
+        assert out[:, :28].std() < noisy[:, :28].std() * 0.8
+        # edge preserved: the two sides remain distinct
+        assert abs(out[:, :28].mean() - 2.0) < 0.05
+        assert abs(out[:, 36:].mean() - 4.0) < 0.05
+
+    def test_invalid_passthrough(self):
+        from rgbd360_tpu.ops.bilateral import bilateral_depth
+
+        d = jnp.zeros((32, 32))
+        out = bilateral_depth(d)
+        np.testing.assert_array_equal(np.asarray(out), 0.0)
+
+
+class TestLaserCalibration:
+    def test_recover_laser_pose(self, rng):
+        from rgbd360_tpu.calibration.laser import LaserCalibrator
+
+        # rig-frame planes
+        normals = np.array(
+            [[1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0], [0.577, 0.577, 0.577]]
+        )
+        normals /= np.linalg.norm(normals, axis=1, keepdims=True)
+        ds = np.array([2.0, 1.5, 3.0, 2.5])
+        rt_true = np.asarray(
+            se3.se3_exp(jnp.array([0.1, -0.05, 0.2, 0.05, 0.1, -0.08]))
+        )
+        # sample scan points on each plane IN THE RIG FRAME, move to laser
+        pts, idx = [], []
+        rinv = np.linalg.inv(rt_true)
+        for k, (nk, dk) in enumerate(zip(normals, ds)):
+            # points on plane n.x + d = 0
+            basis = np.linalg.svd(nk[None])[2][1:]
+            uv = rng.uniform(-2, 2, (40, 2))
+            x = -dk * nk + uv @ basis
+            x_laser = x @ rinv[:3, :3].T + rinv[:3, 3]
+            pts.append(x_laser)
+            idx.append(np.full(40, k))
+        pts = np.vstack(pts) + rng.normal(0, 0.003, (160, 3))
+        idx = np.concatenate(idx)
+
+        rt_est, diag = LaserCalibrator().calibrate(normals, ds, pts, idx)
+        err = np.asarray(se3.se3_log(jnp.asarray(np.linalg.inv(rt_est) @ rt_true)))
+        assert np.linalg.norm(err[:3]) < 0.02, (rt_est, diag)
+        assert np.linalg.norm(err[3:]) < 0.01
+        assert diag["rms"] < 0.01
+
+
+def test_register_sequence_app(tmp_path, calibration, sample_paths):
+    from rgbd360_tpu.apps import register_sequence
+
+    traj, labels = register_sequence.main(
+        [str(sample_paths[0].parent), "--out", str(tmp_path)]
+    )
+    assert traj.shape[0] == 2
+    dt = np.linalg.norm(traj[1][:3, 3])
+    assert 0.1 < dt < 0.8
+    assert (tmp_path / "trajectory.txt").exists()
