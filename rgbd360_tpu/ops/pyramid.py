@@ -43,8 +43,28 @@ def _sep_filter5(img: jnp.ndarray) -> jnp.ndarray:
     return acc
 
 
+def _pick_block(n: int, cap: int = 16) -> int:
+    for b in range(min(cap, n), 0, -1):
+        if n % b == 0:
+            return b
+    return 1
+
+
 def pyr_down(img: jnp.ndarray) -> jnp.ndarray:
-    """cv::pyrDown equivalent: blur then take even rows/cols."""
+    """cv::pyrDown equivalent: blur then take even rows/cols.
+
+    Dispatches to the fused Pallas kernel on TPU backends (bit-equal in the
+    interior, ~3x faster, and far cheaper to compile than the roll chain).
+    """
+    from rgbd360_tpu.ops import pallas_kernels as K
+
+    h, w = img.shape
+    # Mosaic wants row blocks in multiples of 8: engage only where the
+    # output height allows it (small coarse levels are cheap in jnp anyway)
+    # engage only on lane/sublane-aligned shapes (in practice the big full
+    # -res level, which dominates the cost; coarse levels stay on jnp)
+    if K.use_pallas() and w % 256 == 0 and (h // 2) % 8 == 0:
+        return K.fused_pyr_down(img, 8)
     return _sep_filter5(img)[::2, ::2]
 
 
@@ -78,8 +98,13 @@ def gradient_xy(img: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Occlusion-aware harmonic-mean gradients (reference `calcGradientXY`).
 
     grad = 2 / (1/(I[+1]-I) + 1/(I-I[-1])) where I is strictly between its
-    neighbors, else 0.  Border pixels are 0.
+    neighbors, else 0.  Border pixels are 0.  Dispatches to the fused Pallas
+    kernel on TPU backends (bit-equal).
     """
+    from rgbd360_tpu.ops import pallas_kernels as K
+
+    if K.use_pallas() and img.shape[0] % 16 == 0 and img.shape[1] % 128 == 0:
+        return K.fused_gradients(img, 16)
 
     def _axis_grad(a, axis):
         fwd = jnp.roll(a, -1, axis=axis) - a
