@@ -318,6 +318,41 @@ class KeyframeSLAM(TrackerBase):
                     sso=float(res.sso),
                 )
 
+        # neighbor-keyframe connections: dense-align against other nearby
+        # KFs and add extra edges (reference KFsphere_SLAM.cpp:405-461,
+        # vConnections with residual < 1.8)
+        n_kf_now = int(self.map.n_kf)
+        centers = np.asarray(self.map.poses[:n_kf_now, :3, 3])
+        dist = np.linalg.norm(centers - self.pose[:3, 3], axis=1)
+        near = [
+            kf
+            for kf in range(n_kf_now)
+            if kf not in (prev_kf, k) and dist[kf] < kf_cfg.connection_radius
+        ]
+        n_connections = 0
+        for kf in near[:3]:  # bound per-frame work like the area gating does
+            kf_pyr2 = self._pyr(
+                self.map.gray[kf].astype(jnp.float32),
+                self.map.depth[kf].astype(jnp.float32),
+            )
+            seed2 = jnp.asarray(
+                np.linalg.inv(np.asarray(self.map.opt_poses[kf])) @ self.pose
+            )
+            res2 = self.aligner.align(state.pyramid, kf_pyr2, seed2, method=D.PHOTO_DEPTH)
+            if (
+                not bool(res2.ill_posed)
+                and float(res2.av_depth_residual) < kf_cfg.max_connection_residual
+            ):
+                self.map = self.map.add_edge(
+                    kf,
+                    k,
+                    jnp.asarray(res2.pose),
+                    jnp.asarray(res2.hessian),
+                    sso=float(res2.sso),
+                )
+                n_connections += 1
+        ev["connections"] = n_connections
+
         # loop closures for the new keyframe
         lcs = self.loop_closer.search(
             self.map,
@@ -339,7 +374,7 @@ class KeyframeSLAM(TrackerBase):
         self.n_loop_closures += len(lcs)
 
         # optimize whenever the graph gained a non-odometry constraint
-        if lcs:
+        if lcs or n_connections:
             chi2, iters = self._optimize()
             ev["chi2"] = chi2
             self.pose = np.asarray(self.map.opt_poses[k])
