@@ -48,6 +48,20 @@ def test_grabber_synth_and_repack(tmp_path):
     assert orig == new
 
 
+def test_synth_motion_recovered_end_to_end(tmp_path):
+    """Full stack: synthesize a moving rig capture -> serialize -> decode ->
+    stitch -> track; the known 0.1 m/frame axial motion must come back."""
+    from rgbd360_tpu.apps import grabber, odometry
+
+    d = tmp_path / "synth"
+    grabber.main(
+        ["synth", str(d), "--frames", "4", "--calib", "/root/reference/Calibration"]
+    )
+    traj = odometry.main([str(d), "--no-intrinsics"])
+    steps = np.diff(np.stack(traj)[:, 0, 3])
+    np.testing.assert_allclose(steps, 0.1, atol=0.02)
+
+
 def test_odometry_app(tmp_path):
     from rgbd360_tpu.apps import odometry
 
