@@ -33,14 +33,32 @@ def load_calib(args):
     return load_calibration(root / "Extrinsics", intr)
 
 
+def rotation_to_quaternion(r: np.ndarray) -> np.ndarray:
+    """(qw, qx, qy, qz) via Shepperd's method — stable for all rotations,
+    including the ~180-degree headings routine in 360-degree trajectories."""
+    t = np.trace(r)
+    if t > 0:
+        s = np.sqrt(t + 1.0) * 2
+        q = np.array(
+            [0.25 * s, (r[2, 1] - r[1, 2]) / s, (r[0, 2] - r[2, 0]) / s,
+             (r[1, 0] - r[0, 1]) / s]
+        )
+    else:
+        i = int(np.argmax(np.diag(r)))
+        j, k = (i + 1) % 3, (i + 2) % 3
+        s = np.sqrt(max(r[i, i] - r[j, j] - r[k, k] + 1.0, 1e-12)) * 2
+        q = np.empty(4)
+        q[0] = (r[k, j] - r[j, k]) / s
+        q[1 + i] = 0.25 * s
+        q[1 + j] = (r[j, i] + r[i, j]) / s
+        q[1 + k] = (r[k, i] + r[i, k]) / s
+    return q / np.linalg.norm(q)
+
+
 def save_trajectory_txt(path, poses):
     """TUM-style trajectory: idx tx ty tz qw qx qy qz."""
     rows = []
     for i, t in enumerate(np.asarray(poses)):
-        r = t[:3, :3]
-        qw = np.sqrt(max(0.0, 1 + r[0, 0] + r[1, 1] + r[2, 2])) / 2
-        qx = (r[2, 1] - r[1, 2]) / max(4 * qw, 1e-9)
-        qy = (r[0, 2] - r[2, 0]) / max(4 * qw, 1e-9)
-        qz = (r[1, 0] - r[0, 1]) / max(4 * qw, 1e-9)
-        rows.append([i, *t[:3, 3], qw, qx, qy, qz])
+        q = rotation_to_quaternion(t[:3, :3])
+        rows.append([i, *t[:3, 3], *q])
     np.savetxt(path, np.asarray(rows), fmt="%.6f")

@@ -78,6 +78,11 @@ class SegmentationConfig:
     angular_threshold: float = 0.039812  # rad, ~3 deg cone for region growing
     distance_threshold: float = 0.02  # m, point-to-plane gate
     max_curvature: float = 0.0013  # reference `include/Miscellaneous.h:54`
+    # Gate applied to THIS estimator's curvature (lambda0 / sum(lambda) over
+    # raw component points): depth noise alone puts real walls near 1e-3, so
+    # the PCL-calibrated constant above is too strict here; curved surfaces
+    # (r <~ 1 m) land at >= 5e-3.
+    max_curvature_estimate: float = 5e-3
     min_area: float = 0.12  # reference `include/Miscellaneous.h:57`
     max_elongation: float = 6.0  # reference `include/Miscellaneous.h:60`
     normal_smoothing_size: int = 8

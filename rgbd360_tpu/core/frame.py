@@ -151,11 +151,16 @@ class FrameBuilder:
     # -------------------------------------------------------------- stages
 
     def undistort(self, frame: RigFrame) -> RigFrame:
-        """Apply CLAMS depth undistortion (reference `Frame360::undistort:293`)."""
+        """Apply CLAMS depth undistortion (reference `Frame360::undistort:293`).
+
+        Accepts raw u16 millimeter or float32 meter depth; returns meters."""
+        depth = frame.depth
+        if depth.dtype != jnp.float32:
+            depth = depth.astype(jnp.float32) * 0.001
         if self.clams is None:
-            return frame
+            return RigFrame(rgb=frame.rgb, depth=depth)
         mult, counts, bw, bh, bd = self.clams
-        depth = undistort_ops.undistort_depth(frame.depth, mult, counts, bw, bh, bd)
+        depth = undistort_ops.undistort_depth(depth, mult, counts, bw, bh, bd)
         return RigFrame(rgb=frame.rgb, depth=depth)
 
     def _build_impl(self, params, rgb: jnp.ndarray, depth_raw: jnp.ndarray) -> SphereFrame:

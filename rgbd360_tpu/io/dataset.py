@@ -68,21 +68,43 @@ class SequenceDataset:
             return
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = object()
+        cancelled = threading.Event()
 
         def worker():
             try:
                 for p in self.paths:
-                    q.put(_decode(p))
+                    try:
+                        item = _decode(p)
+                    except Exception as exc:  # propagate to the consumer
+                        item = ("__error__", exc)
+                    while not cancelled.is_set():
+                        try:
+                            q.put(item, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if cancelled.is_set() or isinstance(item, tuple):
+                        return
             finally:
-                q.put(stop)
+                while not cancelled.is_set():
+                    try:
+                        q.put(stop, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                if isinstance(item, tuple) and item and item[0] == "__error__":
+                    raise item[1]
+                yield item
+        finally:
+            cancelled.set()
 
     @staticmethod
     def have_native_loader() -> bool:

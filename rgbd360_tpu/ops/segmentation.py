@@ -283,6 +283,7 @@ def segment_planes_sensor(
         seg_ok
         & (area >= cfg.min_area)
         & (elongation <= cfg.max_elongation)
+        & (curvature < cfg.max_curvature_estimate)  # curved-surface gate
     )
 
     return PlaneSet(

@@ -223,24 +223,6 @@ def _residual_terms(src_gray, pts, valid_src, trg_pack, pose, cfg, method, occlu
     return out
 
 
-def _mean_error(level_src, level_trg, pose, cfg, method, occlusion=0):
-    """sqrt(sum(weighted residual^2)/n) (reference `errorPhotoICP_sphere:2545`)."""
-    pts, valid_src = _src_points(level_src["depth"], cfg)
-    t = _residual_terms(
-        level_src["gray"], pts, valid_src, _pack_target(level_trg), pose, cfg,
-        method, occlusion,
-    )
-    err2 = 0.0
-    n = 0
-    if "photo_res" in t:
-        err2 = err2 + jnp.sum(t["photo_res"] ** 2)
-        n = n + jnp.sum(t["photo_mask"])
-    if "depth_res" in t:
-        err2 = err2 + jnp.sum(t["depth_res"] ** 2)
-        n = n + jnp.sum(t["depth_mask"])
-    return jnp.sqrt(err2 / jnp.maximum(n, 1))
-
-
 def _proj_jacobian(tp, w):
     """J of (col, row) wrt the 3D point (reference `:3001-3020`).
 
@@ -327,8 +309,8 @@ def _hess_grad_packed(src_gray, pts, valid_src, trg_pack, pose, cfg, method, occ
         stats["depth_n"] = jnp.sum(t["depth_mask"])
 
     stats["visible"] = jnp.sum(t["visible"])
-    # Mean weighted residual, same normalization as _mean_error, so the
-    # H/g/error triple comes out of ONE pixel sweep.
+    # Mean weighted residual sqrt(sum(w r)^2 / n) (reference
+    # errorPhotoICP_sphere:2545) — the H/g/error triple from ONE pixel sweep.
     err2 = stats.get("photo_sq", 0.0) + stats.get("depth_sq", 0.0)
     n = stats.get("photo_n", 0) + stats.get("depth_n", 0)
     stats["mean_err"] = jnp.sqrt(err2 / jnp.maximum(n, 1))
@@ -479,6 +461,6 @@ class DenseAligner:
 def entropy_from_hessian(hess: jnp.ndarray) -> jnp.ndarray:
     """Differential entropy of the pose estimate (Kerl IROS'13; reference
     `RegisterPhotoICP::calcEntropy` / `RegisterRGBD360.h:230`)."""
-    sign, logdet = jnp.linalg.slogdet(jnp.linalg.inv(hess))
-    dof = 6.0
-    return 0.5 * (dof * (1.0 + jnp.log(2.0 * jnp.pi)) + logdet)
+    from rgbd360_tpu.utils.metrics import entropy
+
+    return entropy(hess)

@@ -86,8 +86,9 @@ class LoopCloser:
         if n_kf <= exclude_recent + 1:
             return []
 
-        # distance gate (reference searches within 5 m, LoopClosure360.h:294)
-        centers = np.asarray(map360.poses[:, :3, 3])
+        # distance gate (reference searches within 5 m, LoopClosure360.h:294);
+        # use OPTIMIZED poses — the query pose lives in the optimized frame
+        centers = np.asarray(map360.opt_poses[:, :3, 3])
         qc = np.asarray(query_pose[:3, 3])
         dist = np.linalg.norm(centers - qc, axis=1)
         idx = np.arange(map360.poses.shape[0])

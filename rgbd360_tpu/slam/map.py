@@ -102,7 +102,15 @@ class Map360:
         planes: PlaneSet,
         area_id: jnp.ndarray | int = None,
     ) -> "Map360":
-        """Append a keyframe (reference `Map360::addKeyframe:90`)."""
+        """Append a keyframe (reference `Map360::addKeyframe:90`).
+
+        Raises when the fixed capacity is exhausted (a silent JAX
+        out-of-bounds scatter would otherwise drop the update)."""
+        if int(self.n_kf) >= self.poses.shape[0]:
+            raise RuntimeError(
+                f"Map360 keyframe capacity ({self.poses.shape[0]}) exhausted; "
+                "grow MapConfig.max_keyframes"
+            )
         k = self.n_kf
         if area_id is None:
             area_id = jnp.int32(0)
@@ -137,6 +145,11 @@ class Map360:
 
         rel maps x_i = rel @ x_j (pose of KF j expressed in KF i's frame).
         """
+        if int(self.n_edges) >= self.graph.edges_ij.shape[0]:
+            raise RuntimeError(
+                f"Map360 edge capacity ({self.graph.edges_ij.shape[0]}) "
+                "exhausted; grow MapConfig.max_edges"
+            )
         e = self.n_edges
         i = jnp.int32(i)
         j = jnp.int32(j)

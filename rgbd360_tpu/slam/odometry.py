@@ -79,10 +79,17 @@ class TrackerBase:
         planes = self.builder.segment_planes(sphere)
         return FrameState(sphere=sphere, pyramid=pyramid, planes=planes)
 
+    # Seeded solves whose final mean residual exceeds this are suspect
+    # enough to warrant a second solve from identity (bad PbMap seeds land
+    # in high-error local minima; well-seeded solves sit well below this).
+    FALLBACK_ERROR = 3.0
+
     def align_with_fallback(self, src_pyr, trg_pyr, seed):
         """Dense alignment from a seed, retried from identity when the
-        seeded solve fails or lands on a worse optimum (the reference's
-        tracking-loss fallbacks, `SLAM/SphereGraphSLAM.cpp:175-244`)."""
+        seeded solve fails, violates motion continuity, or converges to a
+        high-error optimum (the reference's tracking-loss fallbacks,
+        `SLAM/SphereGraphSLAM.cpp:175-244`).  The retry is gated — the
+        common well-seeded case pays for ONE dense solve."""
         kf_cfg = self.config.kf
         res = self.aligner.align(src_pyr, trg_pyr, seed, method=D.PHOTO_DEPTH)
         good = not bool(res.ill_posed) and is_motion_continuous(
@@ -90,7 +97,10 @@ class TrackerBase:
             kf_cfg.max_translation_odometry,
             kf_cfg.max_rotation_odometry,
         )
-        if isinstance(seed, jnp.ndarray) and np.allclose(np.asarray(seed), np.eye(4)):
+        seed_is_identity = isinstance(seed, jnp.ndarray) and np.allclose(
+            np.asarray(seed), np.eye(4)
+        )
+        if seed_is_identity or (good and float(res.error) < self.FALLBACK_ERROR):
             return res
         res_id = self.aligner.align(src_pyr, trg_pyr, jnp.eye(4), method=D.PHOTO_DEPTH)
         good_id = not bool(res_id.ill_posed) and is_motion_continuous(
@@ -322,7 +332,7 @@ class KeyframeSLAM(TrackerBase):
         # KFs and add extra edges (reference KFsphere_SLAM.cpp:405-461,
         # vConnections with residual < 1.8)
         n_kf_now = int(self.map.n_kf)
-        centers = np.asarray(self.map.poses[:n_kf_now, :3, 3])
+        centers = np.asarray(self.map.opt_poses[:n_kf_now, :3, 3])
         dist = np.linalg.norm(centers - self.pose[:3, 3], axis=1)
         near = [
             kf

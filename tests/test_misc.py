@@ -122,3 +122,59 @@ class TestLabels:
         st.save(p)
         st2 = LabelStore.load(p)
         assert st2.get_label(1, 5) == "wall"
+
+
+class TestReviewRegressions:
+    """Regressions for the round-1 code-review findings."""
+
+    def test_undistort_accepts_raw_units(self, calibration):
+        from rgbd360_tpu.core.frame import FrameBuilder, RigFrame
+        from rgbd360_tpu.io.bin_format import read_rig_frame
+
+        b = FrameBuilder(calibration)
+        raw = read_rig_frame("/root/reference/samples/sphere_images_1.bin")
+        out = b.undistort(RigFrame.from_raw(raw))  # u16 mm input
+        d = np.asarray(out.depth)
+        assert d.dtype == np.float32
+        m = d > 0
+        assert 0.3 < np.median(d[m]) < 10.0  # meters, not millimeters
+
+    def test_map_capacity_guard(self):
+        from dataclasses import replace
+
+        from rgbd360_tpu.config import default_config
+        from rgbd360_tpu.slam.map import Map360
+
+        cfg = default_config()
+        m = Map360.empty(
+            replace(cfg.map, max_keyframes=2, max_edges=2), 8, 16,
+            cfg.seg.max_planes, cfg.seg.hull_dirs,
+        )
+        import jax
+
+        planes = jax.tree_util.tree_map(lambda a: a[0], m.planes)
+        g = jnp.zeros((8, 16))
+        m = m.add_keyframe(jnp.eye(4), g, g, planes)
+        m = m.add_keyframe(jnp.eye(4), g, g, planes)
+        with pytest.raises(RuntimeError, match="capacity"):
+            m.add_keyframe(jnp.eye(4), g, g, planes)
+
+    def test_quaternion_180_degrees(self, tmp_path):
+        from rgbd360_tpu.apps._common import rotation_to_quaternion
+
+        r = np.diag([1.0, -1.0, -1.0])  # 180 deg about x
+        q = rotation_to_quaternion(r)
+        np.testing.assert_allclose(np.linalg.norm(q), 1.0, atol=1e-9)
+        np.testing.assert_allclose(np.abs(q), [0, 1, 0, 0], atol=1e-9)
+
+    def test_dataset_error_propagates(self, tmp_path):
+        import pathlib
+
+        from rgbd360_tpu.io.dataset import SequenceDataset
+
+        good = pathlib.Path("/root/reference/samples/sphere_images_1.bin")
+        (tmp_path / "sphere_images_1.bin").write_bytes(good.read_bytes())
+        (tmp_path / "sphere_images_2.bin").write_bytes(b"garbage" * 100)
+        ds = SequenceDataset(tmp_path)
+        with pytest.raises(ValueError):
+            list(ds)
