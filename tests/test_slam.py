@@ -189,3 +189,25 @@ class TestRealSLAM:
         assert r.success
         assert r.kf == 1  # frame 10 IS keyframe 1
         assert np.linalg.norm(np.asarray(r.pose)[:3, 3]) < 0.1
+
+
+class TestPbMapGraphSLAM:
+    def test_two_frames(self, calibration, sample_paths):
+        from dataclasses import replace
+
+        from rgbd360_tpu.core.frame import FrameBuilder
+        from rgbd360_tpu.io.bin_format import read_rig_frame
+        from rgbd360_tpu.slam.pbmap_slam import PbMapGraphSLAM
+
+        cfg = default_config()
+        cfg = cfg.replace(map=replace(cfg.map, max_keyframes=16, max_edges=64))
+        builder = FrameBuilder(calibration, cfg)
+        slam = PbMapGraphSLAM(builder, cfg)
+        ev1 = slam.process(read_rig_frame(sample_paths[0]))
+        assert ev1["keyframe"]
+        ev2 = slam.process(read_rig_frame(sample_paths[1]))
+        assert ev2["tracked"], ev2
+        assert int(slam.map.n_kf) == 2
+        pose2 = slam.trajectory[-1]
+        dt = np.linalg.norm(pose2[:3, 3])
+        assert 0.1 < dt < 0.8, pose2[:3, 3]
