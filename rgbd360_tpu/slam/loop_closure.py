@@ -69,6 +69,19 @@ class LoopCloser:
 
         return jax.vmap(one)(map_planes, gate)
 
+    def kf_pyramid(self, map360, k: int, cache: dict | None = None):
+        """Alignment pyramid of keyframe k, rebuilt from the map payload;
+        memoized in `cache` (KF payloads are immutable once added)."""
+        if cache is not None and k in cache:
+            return cache[k]
+        pyr = self._pyr(
+            map360.gray[k].astype(jnp.float32),
+            map360.depth[k].astype(jnp.float32),
+        )
+        if cache is not None:
+            cache[k] = pyr
+        return pyr
+
     def search(
         self,
         map360,
@@ -79,6 +92,7 @@ class LoopCloser:
         query_kf: int,
         exclude_recent: int = 2,
         max_dense_checks: int = 3,
+        pyr_cache: dict | None = None,
     ) -> list[LoopClosure]:
         """Find loop closures for a (new) keyframe against the whole map."""
         lc_cfg = self.config.lc
@@ -121,14 +135,13 @@ class LoopCloser:
         out: list[LoopClosure] = []
         q_pyr = self._pyr(query_gray, query_depth)
         for k in cand:
-            kf_pyr = self._pyr(
-                map360.gray[k].astype(jnp.float32),
-                map360.depth[k].astype(jnp.float32),
-            )
+            kf_pyr = self.kf_pyramid(map360, int(k), pyr_cache)
             # seed: plane pose maps x_kf = T x_query; dense align(query, kf)
             # optimizes T_kf<-query when called as align(src=query, trg=kf)
             seed = jnp.asarray(pose[k])
-            res = self._aligner.align(q_pyr, kf_pyr, seed, method=D.PHOTO_DEPTH)
+            res = jax.device_get(
+                self._aligner.align(q_pyr, kf_pyr, seed, method=D.PHOTO_DEPTH)
+            )
             dres = float(res.av_depth_residual)
             if dres < lc_cfg.max_depth_residual and not bool(res.ill_posed):
                 out.append(

@@ -42,6 +42,12 @@ from rgbd360_tpu.slam.relocalizer import Relocalizer
 from rgbd360_tpu.slam.topological import partition_map
 
 
+def fetch(tree):
+    """One device->host round trip for a whole result pytree (field-by-field
+    float()/bool() fetches cost a tunnel round trip EACH on remote TPUs)."""
+    return jax.device_get(tree)
+
+
 def is_motion_continuous(
     rel: np.ndarray, max_translation: float, max_rotation: float
 ) -> bool:
@@ -91,7 +97,7 @@ class TrackerBase:
         `SLAM/SphereGraphSLAM.cpp:175-244`).  The retry is gated — the
         common well-seeded case pays for ONE dense solve."""
         kf_cfg = self.config.kf
-        res = self.aligner.align(src_pyr, trg_pyr, seed, method=D.PHOTO_DEPTH)
+        res = fetch(self.aligner.align(src_pyr, trg_pyr, seed, method=D.PHOTO_DEPTH))
         good = not bool(res.ill_posed) and is_motion_continuous(
             np.asarray(res.pose),
             kf_cfg.max_translation_odometry,
@@ -102,7 +108,9 @@ class TrackerBase:
         )
         if seed_is_identity or (good and float(res.error) < self.FALLBACK_ERROR):
             return res
-        res_id = self.aligner.align(src_pyr, trg_pyr, jnp.eye(4), method=D.PHOTO_DEPTH)
+        res_id = fetch(
+            self.aligner.align(src_pyr, trg_pyr, jnp.eye(4), method=D.PHOTO_DEPTH)
+        )
         good_id = not bool(res_id.ill_posed) and is_motion_continuous(
             np.asarray(res_id.pose),
             kf_cfg.max_translation_odometry,
@@ -156,7 +164,7 @@ class FrameToFrameOdometry(TrackerBase):
         # PbMap seed (reference OdometryRGBD360.cpp:205 then dense :251)
         pb = self.plane_reg.register(self.prev.planes, state.planes, mode=PLANAR_3DOF)
         seed = jnp.asarray(pb.pose) if bool(pb.success) else jnp.eye(4)
-        res = self.align_with_fallback(state.pyramid, self.prev.pyramid, seed)
+        res = fetch(self.align_with_fallback(state.pyramid, self.prev.pyramid, seed))
         rel = np.asarray(res.pose)  # T_prev<-new
         kf_cfg = self.config.kf
         ok = (
@@ -197,6 +205,8 @@ class KeyframeSLAM(TrackerBase):
         self.relocalizer = Relocalizer(cfg)
         self.current_kf = -1
         self.kf_state: FrameState | None = None
+        # KF payloads are immutable -> their pyramids are memoized
+        self._kf_pyr_cache: dict = {}
         self.pose = np.eye(4)  # current frame world pose
         self.trajectory: list[np.ndarray] = []
         self.lost = False
@@ -215,6 +225,7 @@ class KeyframeSLAM(TrackerBase):
         )
         self.current_kf = k
         self.kf_state = state
+        self._kf_pyr_cache[k] = state.pyramid
         return k
 
     def _optimize(self):
@@ -253,11 +264,11 @@ class KeyframeSLAM(TrackerBase):
             self.pose = np.asarray(self.map.opt_poses[r.kf]) @ r.pose
             self.lost = False
 
-        # reference keyframe pyramids (rebuild from the map if needed)
+        # reference keyframe pyramids (cached; rebuilt from the map payload
+        # only after relocalization to an old keyframe)
         if self.kf_state is None:
-            kf_pyr = self._pyr(
-                self.map.gray[self.current_kf].astype(jnp.float32),
-                self.map.depth[self.current_kf].astype(jnp.float32),
+            kf_pyr = self.loop_closer.kf_pyramid(
+                self.map, self.current_kf, self._kf_pyr_cache
             )
             kf_planes = jax.tree_util.tree_map(
                 lambda a: a[self.current_kf], self.map.planes
@@ -272,7 +283,7 @@ class KeyframeSLAM(TrackerBase):
 
         # dense tracking: T_kf<-new (reference :370-373)
         seed = jnp.asarray(pb.pose) if bool(pb.success) else jnp.eye(4)
-        res = self.align_with_fallback(state.pyramid, kf_pyr, seed)
+        res = fetch(self.align_with_fallback(state.pyramid, kf_pyr, seed))
         rel = np.asarray(res.pose)
         depth_res = float(res.av_depth_residual)
         ev["av_depth_residual"] = depth_res
@@ -341,14 +352,13 @@ class KeyframeSLAM(TrackerBase):
         ]
         n_connections = 0
         for kf in near[:3]:  # bound per-frame work like the area gating does
-            kf_pyr2 = self._pyr(
-                self.map.gray[kf].astype(jnp.float32),
-                self.map.depth[kf].astype(jnp.float32),
-            )
+            kf_pyr2 = self.loop_closer.kf_pyramid(self.map, kf, self._kf_pyr_cache)
             seed2 = jnp.asarray(
                 np.linalg.inv(np.asarray(self.map.opt_poses[kf])) @ self.pose
             )
-            res2 = self.aligner.align(state.pyramid, kf_pyr2, seed2, method=D.PHOTO_DEPTH)
+            res2 = fetch(
+                self.aligner.align(state.pyramid, kf_pyr2, seed2, method=D.PHOTO_DEPTH)
+            )
             if (
                 not bool(res2.ill_posed)
                 and float(res2.av_depth_residual) < kf_cfg.max_connection_residual
@@ -371,6 +381,7 @@ class KeyframeSLAM(TrackerBase):
             state.sphere.sphere_depth,
             jnp.asarray(self.pose),
             k,
+            pyr_cache=self._kf_pyr_cache,
         )
         for lc in lcs:
             self.map = self.map.add_edge(
