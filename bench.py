@@ -50,8 +50,13 @@ def main() -> None:
 
     n = 20
     t0 = time.time()
+    # double-buffered streaming: the next frame's host->device transfer is
+    # issued before the current frame's compute is consumed (exactly what
+    # SequenceDataset's prefetch thread provides in the real pipeline)
+    next_rig = RigFrame.from_raw(raw1)
     for i in range(n):
-        rig = RigFrame.from_raw(raw1 if i % 2 else raw2)
+        rig = next_rig
+        next_rig = RigFrame.from_raw(raw1 if i % 2 else raw2)
         _, p = builder.build_with_pyramid(rig)
         res = aligner.align(p, p2, method=D.PHOTO_DEPTH)
     jax.block_until_ready(res.pose)

@@ -68,6 +68,11 @@ class DenseRegConfig:
     # Width of the masked seam at each sensor boundary, in pixels at full res
     # (reference `RegisterPhotoICP.h:4537-4549` zeroes 2 columns per seam).
     seam_mask_px: int = 2
+    # When > 0, the finest level's GN sweeps use only the top-K most salient
+    # source pixels (by source gradient energy) instead of all ~614k — the
+    # reference's bUseSalientPixels idea (`RegisterPhotoICP.h:266`), here as
+    # a static top-k so it stays jittable.  0 disables (reference default).
+    salient_pixels: int = 0
 
 
 @dataclass(frozen=True)

@@ -1,3 +1,23 @@
-from rgbd360_tpu.ops import se3, camera, undistort, stitch, pyramid
+from rgbd360_tpu.ops import (
+    bilateral,
+    camera,
+    filters,
+    pallas_kernels,
+    pyramid,
+    se3,
+    segmentation,
+    stitch,
+    undistort,
+)
 
-__all__ = ["se3", "camera", "undistort", "stitch", "pyramid"]
+__all__ = [
+    "bilateral",
+    "camera",
+    "filters",
+    "pallas_kernels",
+    "pyramid",
+    "se3",
+    "segmentation",
+    "stitch",
+    "undistort",
+]

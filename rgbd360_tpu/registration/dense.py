@@ -163,8 +163,13 @@ def _huber(err, scale):
     return jnp.where(a < scale, 1.0, w)
 
 
-def _residual_terms(src_gray, pts, valid_src, trg_pack, pose, cfg, method, occlusion=0):
+def _residual_terms(
+    src_gray, pts, valid_src, trg_pack, pose, cfg, method, occlusion=0
+):
     """Per-pixel weighted residuals + masks for one pyramid level.
+
+    Works on (H, W) dense source arrays or flat (K,) salient-pixel subsets
+    (the target grid dimensions come from trg_pack).
 
     occlusion=1 adds a z-buffer test: where several source points project to
     the same target pixel only the nearest stays valid (the reference's
@@ -172,7 +177,7 @@ def _residual_terms(src_gray, pts, valid_src, trg_pack, pose, cfg, method, occlu
     occlusion=2 additionally drops residuals exceeding the depth-outlier
     threshold — moving-object rejection (`_sphereOcc2` + the
     `mask_dynamic_occlusion` machinery, `:3720-4250`)."""
-    h, w = src_gray.shape
+    h, w = trg_pack.shape[0], trg_pack.shape[1]
     wt = _warp_terms(pose, pts, valid_src, h, w)
     r, c = wt["r"], wt["c"]
     tv = trg_pack[r, c]  # (H, W, 6): one gather for all target channels
@@ -262,7 +267,7 @@ def _hess_grad_packed(src_gray, pts, valid_src, trg_pack, pose, cfg, method, occ
     """Assemble the 6x6 normal equations for one GN iteration."""
     t = _residual_terms(src_gray, pts, valid_src, trg_pack, pose, cfg, method, occlusion)
     tp = t["tp"]
-    h, w = src_gray.shape
+    w = trg_pack.shape[1]
 
     jproj = _proj_jacobian(tp, w)  # (H, W, 2, 3)
     # J_T = [I | -skew(tp)]; chain directly instead of materializing (3, 6):
@@ -285,7 +290,7 @@ def _hess_grad_packed(src_gray, pts, valid_src, trg_pack, pose, cfg, method, occ
 
     if "photo_res" in t:
         g2 = jnp.stack([t["photo_gx"], t["photo_gy"]], axis=-1)  # (H, W, 2)
-        a = jnp.einsum("hwk,hwkj->hwj", g2, jproj)  # (H, W, 3)
+        a = jnp.einsum("...k,...kj->...j", g2, jproj)
         jac = chain_row(a) * t["photo_w"][..., None]  # (H, W, 6)
         jac = jnp.where(t["photo_mask"][..., None], jac, 0.0)
         jf = jac.reshape(-1, 6)
@@ -296,7 +301,7 @@ def _hess_grad_packed(src_gray, pts, valid_src, trg_pack, pose, cfg, method, occ
         stats["photo_n"] = jnp.sum(t["photo_mask"])
     if "depth_res" in t:
         g2 = jnp.stack([t["depth_gx"], t["depth_gy"]], axis=-1)
-        a = jnp.einsum("hwk,hwkj->hwj", g2, jproj)
+        a = jnp.einsum("...k,...kj->...j", g2, jproj)
         rho_inv = 1.0 / jnp.maximum(t["rho"], 1e-9)
         a = a - tp * rho_inv[..., None]  # -d|p|/dp term (reference `:3082`)
         jac = chain_row(a) * t["depth_w"][..., None]
@@ -376,6 +381,21 @@ class DenseAligner:
             src_gray = lsrc["gray"]
             pts, valid_src = _src_points(lsrc["depth"], cfg)
             trg_pack = _pack_target(ltrg)
+
+            if lvl == 0 and cfg.salient_pixels > 0:
+                # sparse finest level: sweep only the top-K salient source
+                # pixels (reference bUseSalientPixels, static-k jittable form)
+                score = (
+                    jnp.abs(src.gray_gx[0])
+                    + jnp.abs(src.gray_gy[0])
+                    + jnp.abs(src.depth_gx[0])
+                    + jnp.abs(src.depth_gy[0])
+                )
+                score = jnp.where(valid_src, score, -1.0).reshape(-1)
+                _, sal_idx = jax.lax.top_k(score, cfg.salient_pixels)
+                src_gray = src_gray.reshape(-1)[sal_idx]
+                pts = pts.reshape(-1, 3)[sal_idx]
+                valid_src = valid_src.reshape(-1)[sal_idx]
 
             # One fused sweep per iteration: evaluate (H, g, err) at the
             # candidate pose; if it improved on the best-so-far, accept and
