@@ -136,3 +136,20 @@ def test_filters():
     assert inside[:, 0].min() >= -2 and inside[:, 0].max() <= 1
     out, _ = voxel_downsample(pts, leaf=1.0)
     assert 100 < len(out) < len(pts)
+
+
+def test_benchmark_registration_app():
+    from rgbd360_tpu.apps import benchmark_registration
+
+    results = benchmark_registration.main([S1, S10, "--repeats", "1"])
+    # all methods in the same neighborhood on this pair
+    ts = {k: np.linalg.norm(v[0][:3, 3]) for k, v in results.items()}
+    for name, dt in ts.items():
+        assert 0.1 < dt < 0.8, (name, dt)
+
+
+def test_view_sequence_mode(tmp_path):
+    from rgbd360_tpu.apps import view_frame
+
+    view_frame.main([SAMPLES, "--out", str(tmp_path), "--sequence"])
+    assert len(list(tmp_path.glob("frame_*_rgb.png"))) == 2
