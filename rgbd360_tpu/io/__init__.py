@@ -2,8 +2,20 @@ from rgbd360_tpu.io.bin_format import read_rig_frame, write_rig_frame, RawRigFra
 from rgbd360_tpu.io.clams import load_clams_model, ClamsModel
 from rgbd360_tpu.io.calib import load_calibration, Calibration
 from rgbd360_tpu.io.dataset import SequenceDataset
+from rgbd360_tpu.io.rawlog import (
+    Obs2DRangeScan,
+    Obs3DRangeScan,
+    assemble_rig_frames,
+    read_rawlog,
+    write_rawlog,
+)
 
 __all__ = [
+    "Obs2DRangeScan",
+    "Obs3DRangeScan",
+    "assemble_rig_frames",
+    "read_rawlog",
+    "write_rawlog",
     "read_rig_frame",
     "write_rig_frame",
     "RawRigFrame",
