@@ -180,14 +180,19 @@ def _residual_terms(
     h, w = trg_pack.shape[0], trg_pack.shape[1]
     wt = _warp_terms(pose, pts, valid_src, h, w)
     r, c = wt["r"], wt["c"]
-    tv = trg_pack[r, c]  # (H, W, 6): one gather for all target channels
+    # One gather for all six target channels, addressed by flat linear index:
+    # TPU executes a row-gather from an (N, 6) operand ~4x faster than a 2D
+    # (r, c) gather from (H, W, 6), which forces a layout-change copy of the
+    # whole pack before every sweep.
+    lin = r * w + c
+    tv = jnp.take(trg_pack.reshape(-1, 6), lin, axis=0)
 
     if occlusion >= 1:
         # scatter-min z-buffer on the target grid; a projecting point that
         # is farther than the winner at its pixel is occluded
         rho_w = jnp.where(wt["visible"], wt["rho"], jnp.inf)
-        zbuf = jnp.full((h, w), jnp.inf).at[r, c].min(rho_w)
-        occluded = wt["rho"] > zbuf[r, c] + 0.05
+        zbuf = jnp.full((h * w,), jnp.inf).at[lin].min(rho_w)
+        occluded = wt["rho"] > zbuf[lin] + 0.05
         wt["visible"] = wt["visible"] & ~occluded
 
     out = dict(visible=wt["visible"], tp=wt["tp"], rho=wt["rho"])
@@ -392,7 +397,8 @@ class DenseAligner:
                     + jnp.abs(src.depth_gy[0])
                 )
                 score = jnp.where(valid_src, score, -1.0).reshape(-1)
-                _, sal_idx = jax.lax.top_k(score, cfg.salient_pixels)
+                k = min(cfg.salient_pixels, score.shape[0])
+                _, sal_idx = jax.lax.top_k(score, k)
                 src_gray = src_gray.reshape(-1)[sal_idx]
                 pts = pts.reshape(-1, 3)[sal_idx]
                 valid_src = valid_src.reshape(-1)[sal_idx]
