@@ -118,8 +118,10 @@ def build_frame_pyramid(
 
 
 def _pack_target(level_trg):
-    """Stack the six target channels so each GN sweep does ONE gather of a
-    contiguous 6-vector per pixel instead of six scattered gathers."""
+    """Stack the six target channels so each GN sweep does ONE row gather of
+    a contiguous 6-vector per pixel (fastest measured form on TPU: a flat
+    (N, 6) row gather; per-channel planar gathers from tiled 2D images are
+    ~4x slower inside the GN while-loop)."""
     return jnp.stack(
         [
             level_trg["gray"],
@@ -185,7 +187,8 @@ def _residual_terms(
     # (r, c) gather from (H, W, 6), which forces a layout-change copy of the
     # whole pack before every sweep.
     lin = r * w + c
-    tv = jnp.take(trg_pack.reshape(-1, 6), lin, axis=0)
+    tvp = jnp.take(trg_pack.reshape(-1, 6), lin, axis=0)
+    tv = [tvp[..., k] for k in range(6)]
 
     if occlusion >= 1:
         # scatter-min z-buffer on the target grid; a projecting point that
@@ -197,9 +200,9 @@ def _residual_terms(
 
     out = dict(visible=wt["visible"], tp=wt["tp"], rho=wt["rho"])
     if method in (PHOTO_CONSISTENCY, PHOTO_DEPTH):
-        gx, gy = tv[..., 2], tv[..., 3]
+        gx, gy = tv[2], tv[3]
         salient = (jnp.abs(gx) >= cfg.sal_intensity) | (jnp.abs(gy) >= cfg.sal_intensity)
-        diff = tv[..., 0] - src_gray
+        diff = tv[0] - src_gray
         w_p = _huber(diff, cfg.std_photo) / cfg.std_photo
         m = wt["visible"] & salient
         out.update(
@@ -210,7 +213,7 @@ def _residual_terms(
             photo_gy=gy,
         )
     if method in (DEPTH_CONSISTENCY, PHOTO_DEPTH):
-        d2, dgx, dgy = tv[..., 1], tv[..., 4], tv[..., 5]
+        d2, dgx, dgy = tv[1], tv[4], tv[5]
         salient = (jnp.abs(dgx) >= cfg.sal_depth) | (jnp.abs(dgy) >= cfg.sal_depth)
         has_d = d2 > 0
         diff = d2 - wt["rho"]
@@ -410,6 +413,7 @@ class DenseAligner:
                 src_gray = src_gray.reshape(-1)[sal_idx]
                 pts = pts.reshape(-1, 3)[sal_idx]
                 valid_src = valid_src.reshape(-1)[sal_idx]
+                salient_l0 = (src_gray, pts, valid_src)
 
             # One fused sweep per iteration: evaluate (H, g, err) at the
             # candidate pose; if it improved on the best-so-far, accept and
@@ -465,11 +469,21 @@ class DenseAligner:
             iters.append(jnp.maximum(n_it, 0))
 
         # Final statistics at level 0 (Hessian = information matrix, SSO,
-        # average residuals; reference `:759-762`, `:3226`).
+        # average residuals; reference `:759-762`, `:3226`).  With salient
+        # pixels enabled the final sweep runs on the same subset the finest
+        # level optimized — exactly the reference's bUseSalientPixels
+        # behavior, and it avoids a full-resolution dense sweep (~2 ms).
         lsrc = self._level_dicts(src, 0)
         ltrg = self._level_dicts(trg, 0)
-        hess_out, _, stats = _hess_grad(lsrc, ltrg, pose, cfg, method, occlusion)
-        size = lsrc["depth"].size
+        if cfg.salient_pixels > 0:
+            sg, pts0, vs0 = salient_l0
+            hess_out, _, stats = _hess_grad_packed(
+                sg, pts0, vs0, _pack_target(ltrg), pose, cfg, method, occlusion
+            )
+            size = sg.shape[0]
+        else:
+            hess_out, _, stats = _hess_grad(lsrc, ltrg, pose, cfg, method, occlusion)
+            size = lsrc["depth"].size
         sso = stats["visible"] / size
         av_photo = jnp.sqrt(
             stats.get("photo_sq", jnp.array(0.0))
