@@ -131,7 +131,12 @@ def stitch(
     pack = jnp.concatenate(
         [rgb.astype(jnp.float32), depth[..., None].astype(jnp.float32)], axis=-1
     )
-    vals = pack[s, v, u]  # (H', W', 4)
+    sh, sw = rgb.shape[1], rgb.shape[2]
+    lin = (s.astype(jnp.int32) * sh + v.astype(jnp.int32)) * sw + u.astype(
+        jnp.int32
+    )
+    # flat (N, 4) row take: ~1.5x faster than the 3-index gather on TPU
+    vals = jnp.take(pack.reshape(-1, 4), lin, axis=0)  # (H', W', 4)
     rgb_out = jnp.where(maps.valid[..., None], vals[..., :3], 0.0)
     d = vals[..., 3]
     depth_out = jnp.where(maps.valid & (d > 0), d * maps.scale, 0.0)
