@@ -390,14 +390,23 @@ class DenseAligner:
             pts, valid_src = _src_points(lsrc["depth"], cfg)
             trg_pack = _pack_target(ltrg)
 
-            if lvl == 0 and cfg.salient_pixels > 0:
-                # sparse finest level: sweep only the top-K salient source
-                # pixels (reference bUseSalientPixels, static-k jittable form)
+            # Salient-pixel sweeps (reference bUseSalientPixels, which gates
+            # every pyramid level): at each level whose pixel count exceeds
+            # twice its budget, sweep only the k most salient source pixels.
+            # The per-level budget halves the fraction kept per level the
+            # same way the reference's fixed thresholds thin coarser levels.
+            k_lvl = cfg.salient_pixels >> (2 * lvl)
+            if (
+                cfg.salient_pixels > 0
+                and lvl <= 1  # coarse levels are cheap and need full support
+                and src_gray.size > 2 * k_lvl
+                and k_lvl > 0
+            ):
                 score = (
-                    jnp.abs(src.gray_gx[0])
-                    + jnp.abs(src.gray_gy[0])
-                    + jnp.abs(src.depth_gx[0])
-                    + jnp.abs(src.depth_gy[0])
+                    jnp.abs(src.gray_gx[lvl])
+                    + jnp.abs(src.gray_gy[lvl])
+                    + jnp.abs(src.depth_gx[lvl])
+                    + jnp.abs(src.depth_gy[lvl])
                 )
                 score = jnp.where(valid_src, score, -1.0).reshape(-1)
                 # Stratified selection: one most-salient pixel per tile of
@@ -406,14 +415,15 @@ class DenseAligner:
                 # constraints over the whole sphere, which keeps the normal
                 # equations well conditioned even on low-texture scenes.
                 total = score.shape[0]
-                k = min(cfg.salient_pixels, total)
+                k = min(k_lvl, total)
                 tile = total // k
                 tiles = score[: k * tile].reshape(k, tile)
                 sal_idx = jnp.arange(k) * tile + jnp.argmax(tiles, axis=1)
                 src_gray = src_gray.reshape(-1)[sal_idx]
                 pts = pts.reshape(-1, 3)[sal_idx]
                 valid_src = valid_src.reshape(-1)[sal_idx]
-                salient_l0 = (src_gray, pts, valid_src)
+                if lvl == 0:
+                    salient_l0 = (src_gray, pts, valid_src)
 
             # One fused sweep per iteration: evaluate (H, g, err) at the
             # candidate pose; if it improved on the best-so-far, accept and
