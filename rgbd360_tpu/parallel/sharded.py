@@ -239,3 +239,108 @@ def distributed_pose_graph(
         (graph.poses, jnp.array(lm_lambda0), chi2_0, jnp.array(0), jnp.array(False)),
     )
     return poses, chi2, iters
+
+
+@partial(jax.jit, static_argnames=("mesh", "max_iters", "cg_iters"))
+def distributed_pose_graph_pcg(
+    mesh: Mesh,
+    graph: PoseGraph,
+    max_iters: int = 10,
+    cg_iters: int = 100,
+    cg_tol: float = 1e-6,
+    lm_lambda0: float = 1e-5,
+    lm_step: float = 10.0,
+):
+    """Edge-sharded, matrix-free distributed pose-graph LM.
+
+    The scalable form of `distributed_pose_graph`: poses (and the CG state)
+    stay replicated, the edge arrays shard over the mesh, and every CG
+    H-matvec is a local edge sweep + one psum — O(N + E/devices) memory per
+    device, no (6N)^2 matrix anywhere.  Numerically matches
+    `slam.graph.optimize_pose_graph_pcg`.
+    """
+    from rgbd360_tpu.slam.graph import (
+        _block_diag,
+        _edge_terms,
+        _pcg,
+        _prior_diag,
+    )
+
+    n = graph.poses.shape[0]
+    prior = _prior_diag(graph, graph.poses.dtype)
+
+    def local_lm_step(poses, lam, edges_ij, rel, info, emask):
+        g_local = PoseGraph(
+            poses=poses,
+            vmask=jnp.ones((n,), bool),
+            edges_ij=edges_ij,
+            rel=rel,
+            info=info,
+            emask=emask,
+        )
+        m_e, b_j, chi2_l, i, j = _edge_terms(poses, g_local)
+        # psum-reduced right-hand side, chi2 and Jacobi blocks
+        b = jnp.zeros((n, 6)).at[j].add(b_j).at[i].add(-b_j)
+        b = jax.lax.psum(b, "kf")
+        chi2 = jax.lax.psum(chi2_l, "kf")
+        bd0 = jax.lax.psum(
+            _block_diag(m_e, i, j, n, 0.0 * prior, 0.0 * prior), "kf"
+        ) + prior
+        lm_diag = lam * bd0 * jnp.eye(6)
+        bd_inv = jnp.linalg.inv(bd0 + lm_diag + 1e-9 * jnp.eye(6))
+
+        def matvec(x):
+            d = jnp.einsum("eil,el->ei", m_e, x[j] - x[i])
+            y = jnp.zeros_like(x).at[j].add(d).at[i].add(-d)
+            y = jax.lax.psum(y, "kf")  # the BA collective
+            return y + jnp.einsum("nil,nl->ni", prior + lm_diag, x)
+
+        delta, _ = _pcg(
+            matvec,
+            lambda r: jnp.einsum("nil,nl->ni", bd_inv, r),
+            -b,
+            cg_iters,
+            cg_tol,
+        )
+        new_poses = jax.vmap(lambda d, t: se3.se3_exp(d) @ t)(delta, poses)
+        chi2_new = jax.lax.psum(_edge_terms(new_poses, g_local)[2], "kf")
+        return new_poses, chi2, chi2_new
+
+    step = _shard_map(
+        local_lm_step,
+        mesh=mesh,
+        in_specs=(P(), P(), P("kf"), P("kf"), P("kf"), P("kf")),
+        out_specs=(P(), P(), P()),
+    )
+
+    def body(carry):
+        poses, lam, chi2_prev, it, done = carry
+        new_poses, chi2, chi2_new = step(
+            poses, lam, graph.edges_ij, graph.rel, graph.info, graph.emask
+        )
+        improved = chi2_new < chi2
+        rel_impr = (chi2 - chi2_new) / jnp.maximum(chi2, 1e-12)
+        return (
+            jnp.where(improved, new_poses, poses),
+            jnp.where(improved, lam / lm_step, lam * lm_step),
+            jnp.where(improved, chi2_new, chi2),
+            it + 1,
+            done | (improved & (rel_impr < 1e-6)),
+        )
+
+    def cond(carry):
+        _, _, _, it, done = carry
+        return (it < max_iters) & ~done
+
+    poses, _, chi2, iters, _ = jax.lax.while_loop(
+        cond,
+        body,
+        (
+            graph.poses,
+            jnp.array(lm_lambda0),
+            jnp.array(jnp.inf),
+            jnp.array(0),
+            jnp.array(False),
+        ),
+    )
+    return poses, chi2, iters

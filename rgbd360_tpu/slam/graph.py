@@ -5,10 +5,13 @@ BlockSolverX + dense linear solver + Levenberg-Marquardt, 10 iterations) with
 a dense batched Gauss-Newton/LM solver: per-edge residuals
 e_ij = log(Z_ij^-1 T_i^-1 T_j), first-order jacobians via the adjoint, one
 scatter-add into the (6N x 6N) normal matrix, Cholesky solve on the MXU.
-Dense is the right call at this scale — the reference itself chooses
-`LinearSolverDense` (`GraphOptimizer.h:67`) — and a 3072x3072 factorization
-is microseconds of MXU time; the distributed variant for bigger maps lives
-in `parallel/sharded_ba.py`.
+Dense is the right call at the reference's scale — the reference itself
+chooses `LinearSolverDense` (`GraphOptimizer.h:67`) — and a 3072x3072
+factorization is microseconds of MXU time.  For maps beyond ~1k keyframes,
+`optimize_pose_graph_pcg` swaps the dense solve for a matrix-free
+block-Jacobi-preconditioned conjugate-gradient solver whose H-matvec is two
+gathers and two scatter-adds over the edge list (O(E) memory instead of
+O(N^2)); the edge-sharded multi-chip variant lives in `parallel/sharded.py`.
 
 Gauge freedom is fixed by a strong prior on vertex 0 (the reference fixes the
 first vertex, `GraphOptimizer.h:105`).
@@ -161,3 +164,141 @@ def optimize_pose_graph(
 
 def graph_chi2(graph: PoseGraph) -> jnp.ndarray:
     return _graph_normal_equations(graph.poses, graph)[2]
+
+
+# ----------------------------------------------------- matrix-free PCG path
+
+
+def _edge_terms(poses, graph: PoseGraph):
+    """Per-edge quantities reused by chi2 / gradient / matvec:
+    m_e = a_e^T Λ_e a_e (E, 6, 6), b contributions, chi2."""
+    e, i, j = _edge_residuals(poses, graph)
+    w = graph.emask.astype(poses.dtype)
+    a = _adjoint(se3.se3_inverse(poses[j]))
+    lam = graph.info * w[:, None, None]
+    aw = jnp.einsum("eki,ekl->eil", a, lam)
+    m_e = jnp.einsum("eil,elm->eim", aw, a)  # (E, 6, 6) PSD blocks
+    b_j = jnp.einsum("eil,el->ei", aw, e)
+    chi2 = jnp.sum(jnp.einsum("ei,eil,el->e", e, lam, e))
+    return m_e, b_j, chi2, i, j
+
+
+def _prior_diag(graph: PoseGraph, dtype):
+    eye6 = jnp.eye(6, dtype=dtype)
+    prior = jnp.where(graph.vmask, 1e-6, 1.0)[:, None, None] * eye6[None]
+    return prior.at[0].add(1e6 * eye6)
+
+
+def _hx(m_e, i, j, prior, lm_diag, x):
+    """H @ x without materializing H: the graph Laplacian structure
+    y_j += m_e (x_j - x_i), y_i -= m_e (x_j - x_i), plus diagonal priors
+    and the LM damping term."""
+    d = jnp.einsum("eil,el->ei", m_e, x[j] - x[i])  # (E, 6)
+    y = jnp.zeros_like(x).at[j].add(d).at[i].add(-d)
+    y = y + jnp.einsum("nil,nl->ni", prior + lm_diag, x)
+    return y
+
+
+def _block_diag(m_e, i, j, n, prior, lm_diag):
+    """Block-diagonal of H (N, 6, 6) for the Jacobi preconditioner."""
+    bd = jnp.zeros((n, 6, 6), m_e.dtype).at[j].add(m_e).at[i].add(m_e)
+    return bd + prior + lm_diag
+
+
+def _pcg(matvec, precond, b, iters, tol):
+    """Standard preconditioned CG on H x = b (H SPD)."""
+    x = jnp.zeros_like(b)
+    r = b
+    z = precond(r)
+    p = z
+    rz = jnp.sum(r * z)
+    b2 = jnp.sum(b * b)
+
+    def body(carry):
+        x, r, p, rz, it = carry
+        hp = matvec(p)
+        alpha = rz / jnp.maximum(jnp.sum(p * hp), 1e-30)
+        x = x + alpha * p
+        r = r - alpha * hp
+        z = precond(r)
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / jnp.maximum(rz, 1e-30)
+        p = z + beta * p
+        return x, r, p, rz_new, it + 1
+
+    def cond(carry):
+        _, r, _, _, it = carry
+        return (it < iters) & (jnp.sum(r * r) > tol * tol * b2)
+
+    x, _, _, _, n_it = jax.lax.while_loop(cond, body, (x, r, p, rz, 0))
+    return x, n_it
+
+
+@partial(jax.jit, static_argnames=("max_iters", "cg_iters"))
+def optimize_pose_graph_pcg(
+    graph: PoseGraph,
+    max_iters: int = 10,
+    cg_iters: int = 100,
+    cg_tol: float = 1e-6,
+    lm_lambda0: float = 1e-5,
+    lm_step: float = 10.0,
+):
+    """LM with a matrix-free block-Jacobi PCG linear solver.
+
+    Numerically equivalent to `optimize_pose_graph` (same residual model,
+    same LM schedule) but never materializes the (6N, 6N) normal matrix:
+    memory is O(N + E) and the per-CG-iteration cost is two gathers + two
+    scatter-adds over the edge list.  Use for maps beyond ~1k keyframes
+    where the dense Cholesky becomes the bottleneck.
+    """
+    n = graph.poses.shape[0]
+    prior = _prior_diag(graph, graph.poses.dtype)
+
+    def body(carry):
+        poses, lam, chi2_prev, it, done = carry
+        m_e, b_j, chi2, i, j = _edge_terms(poses, graph)
+        b = jnp.zeros((n, 6), poses.dtype).at[j].add(b_j).at[i].add(-b_j)
+        bd0 = _block_diag(m_e, i, j, n, prior, 0.0 * prior)
+        lm_diag = lam * bd0 * jnp.eye(6, dtype=poses.dtype)  # damp diagonal
+        bd = bd0 + lm_diag
+        bd_inv = jnp.linalg.inv(bd + 1e-9 * jnp.eye(6, dtype=poses.dtype))
+
+        delta, _ = _pcg(
+            lambda x: _hx(m_e, i, j, prior, lm_diag, x),
+            lambda r: jnp.einsum("nil,nl->ni", bd_inv, r),
+            -b,
+            cg_iters,
+            cg_tol,
+        )
+        new_poses = jax.vmap(lambda d, t: se3.se3_exp(d) @ t)(delta, poses)
+        chi2_new = _edge_terms(new_poses, graph)[2]
+        improved = chi2_new < chi2
+        poses_next = jnp.where(improved, new_poses, poses)
+        lam_next = jnp.where(improved, lam / lm_step, lam * lm_step)
+        rel_impr = (chi2 - chi2_new) / jnp.maximum(chi2, 1e-12)
+        done_next = done | (improved & (rel_impr < 1e-6))
+        return (
+            poses_next,
+            lam_next,
+            jnp.where(improved, chi2_new, chi2),
+            it + 1,
+            done_next,
+        )
+
+    def cond(carry):
+        _, _, _, it, done = carry
+        return (it < max_iters) & ~done
+
+    init_chi2 = _edge_terms(graph.poses, graph)[2]
+    poses, _, chi2, iters, _ = jax.lax.while_loop(
+        cond,
+        body,
+        (
+            graph.poses,
+            jnp.array(lm_lambda0),
+            init_chi2,
+            jnp.array(0),
+            jnp.array(False),
+        ),
+    )
+    return poses, chi2, iters

@@ -97,3 +97,19 @@ def test_scan_scaling_efficiency(mesh):
     # the result must at least be produced; timing printed for the record
     print(f"sharded 64-KF scan: {t_shard*1000:.1f} ms")
     assert np.asarray(out[0]).shape == (64,)
+
+
+def test_distributed_pcg_matches_single(mesh):
+    import sys, pathlib
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent))
+    from test_slam import _ring_graph
+    from rgbd360_tpu.parallel.sharded import distributed_pose_graph_pcg
+    from rgbd360_tpu.slam.graph import optimize_pose_graph_pcg
+
+    g, gt = _ring_graph(n=16)
+    assert g.edges_ij.shape[0] % 8 == 0
+    poses_s, chi2_s, _ = optimize_pose_graph_pcg(g, max_iters=15)
+    poses_d, chi2_d, _ = distributed_pose_graph_pcg(mesh, g, max_iters=15)
+    np.testing.assert_allclose(np.asarray(chi2_d), np.asarray(chi2_s), rtol=0.05)
+    np.testing.assert_allclose(np.asarray(poses_d), np.asarray(poses_s), atol=5e-3)

@@ -211,3 +211,66 @@ class TestPbMapGraphSLAM:
         pose2 = slam.trajectory[-1]
         dt = np.linalg.norm(pose2[:3, 3])
         assert 0.1 < dt < 0.8, pose2[:3, 3]
+
+
+class TestPCGGraph:
+    """Matrix-free PCG pose-graph solver vs the dense reference path."""
+
+    def test_matches_dense(self):
+        from rgbd360_tpu.slam.graph import (
+            optimize_pose_graph,
+            optimize_pose_graph_pcg,
+        )
+
+        g, gt = _ring_graph(n=16)
+        pd, c2d, _ = optimize_pose_graph(g, max_iters=15)
+        pp, c2p, _ = optimize_pose_graph_pcg(g, max_iters=15)
+        np.testing.assert_allclose(float(c2p), float(c2d), rtol=0.05)
+        np.testing.assert_allclose(np.asarray(pp), np.asarray(pd), atol=5e-3)
+
+    def test_large_graph_converges(self):
+        # 512-KF ring + random loop-closure chords, noisy initial poses:
+        # the shape of a real SLAM graph (chords keep the graph diameter
+        # small, which is what lets Jacobi-PCG converge in ~100 iterations;
+        # a pure 512-ring would need ~diameter CG steps).
+        import jax.numpy as jnp
+        from rgbd360_tpu.slam.graph import (
+            PoseGraph,
+            graph_chi2,
+            optimize_pose_graph_pcg,
+        )
+
+        n = 512  # beyond the comfortable dense range on CPU test hardware
+        rng = np.random.default_rng(0)
+        edges = [(i, (i + 1) % n) for i in range(n)]
+        edges += [
+            (int(rng.integers(n)), int(rng.integers(n))) for _ in range(n)
+        ]
+        edges = [(i, j) for i, j in edges if i != j]
+        while len(edges) % 8:
+            edges.append((0, 1))
+        e_n = len(edges)
+
+        def ring_pose(i):
+            th = 2 * np.pi * i / n
+            c, s = np.cos(th), np.sin(th)
+            return np.array(
+                [[c, -s, 0, c], [s, c, 0, s], [0, 0, 1, 0], [0, 0, 0, 1.0]]
+            )
+
+        gt = np.stack([ring_pose(i) for i in range(n)])
+        rel = np.stack([np.linalg.inv(gt[i]) @ gt[j] for i, j in edges])
+        noisy = jnp.asarray(gt + rng.normal(0, 0.05, gt.shape))
+        noisy = noisy.at[:, 3, :].set(jnp.array([0, 0, 0, 1.0]))
+        g = PoseGraph(
+            poses=noisy,
+            vmask=jnp.ones((n,), bool),
+            edges_ij=jnp.asarray(np.array(edges), jnp.int32),
+            rel=jnp.asarray(rel, jnp.float32),
+            info=PoseGraph.empty(n, e_n).info,
+            emask=jnp.ones((e_n,), bool),
+        )
+        chi2_0 = float(graph_chi2(g))
+        poses, chi2, iters = optimize_pose_graph_pcg(g, max_iters=10)
+        assert np.isfinite(np.asarray(poses)).all()
+        assert float(chi2) < 0.1 * chi2_0, (float(chi2), chi2_0)
