@@ -15,8 +15,10 @@ update layout (jacobian columns [I | -skew(R p)] at
 from __future__ import annotations
 
 import jax.numpy as jnp
+from jax import lax
 
 _EPS = 1e-8
+_HI = lax.Precision.HIGHEST
 
 
 def skew(w: jnp.ndarray) -> jnp.ndarray:
@@ -134,9 +136,31 @@ def se3_inverse(t4: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([top, bottom], axis=-2)
 
 
+def adjoint(t4: jnp.ndarray) -> jnp.ndarray:
+    """Adjoint of SE(3) for (v, w)-ordered twists, batched over leading axes.
+
+    Satisfies exp(adjoint(T) @ xi) == T @ exp(xi) @ inv(T).  Used to fold
+    per-sensor normal equations into the shared robot frame in the joint
+    multi-sensor alignment (the reference accumulates per-sensor Hessians and
+    gradients the same way at `include/RegisterRGBD360.h:435-440`).
+    """
+    r = t4[..., :3, :3]
+    t = t4[..., :3, 3]
+    top = jnp.concatenate([r, skew(t) @ r], axis=-1)
+    bottom = jnp.concatenate([jnp.zeros_like(r), r], axis=-1)
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
 def transform_points(t4: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
-    """Apply a 4x4 transform to (..., 3) points."""
-    return pts @ t4[..., :3, :3].swapaxes(-1, -2) + t4[..., :3, 3]
+    """Apply a 4x4 transform to (..., 3) points.
+
+    Pinned to full-f32 matmul: the TPU default feeds bf16 into the MXU,
+    which is cm-scale point error at room range — unacceptable for geometry.
+    """
+    return (
+        jnp.matmul(pts, jnp.swapaxes(t4[..., :3, :3], -1, -2), precision=_HI)
+        + t4[..., :3, 3]
+    )
 
 
 def rotation_angle(r: jnp.ndarray) -> jnp.ndarray:

@@ -338,8 +338,9 @@ def segment_planes_sensor(
 def transform_planes(planes: PlaneSet, rt: jnp.ndarray) -> PlaneSet:
     """Rigidly transform a PlaneSet (reference `Plane::transform`)."""
     r, t = rt[:3, :3], rt[:3, 3]
-    normal = planes.normal @ r.T
-    center = planes.center @ r.T + t
+    hi = jax.lax.Precision.HIGHEST  # bf16 rotation would tilt plane normals
+    normal = jnp.matmul(planes.normal, r.T, precision=hi)
+    center = jnp.matmul(planes.center, r.T, precision=hi) + t
     return PlaneSet(
         normal=normal,
         center=center,
@@ -348,7 +349,7 @@ def transform_planes(planes: PlaneSet, rt: jnp.ndarray) -> PlaneSet:
         area=planes.area,
         elongation=planes.elongation,
         n_inliers=planes.n_inliers,
-        hull=planes.hull @ r.T + t,
+        hull=jnp.matmul(planes.hull, r.T, precision=hi) + t,
         hue_hist=planes.hue_hist,
         main_color=planes.main_color,
         valid=planes.valid,

@@ -41,6 +41,8 @@ PHOTO_CONSISTENCY = 0
 DEPTH_CONSISTENCY = 1
 PHOTO_DEPTH = 2
 
+_HI = jax.lax.Precision.HIGHEST
+
 
 @jax.tree_util.register_dataclass
 @dataclass
@@ -76,12 +78,14 @@ def build_frame_pyramid(
     cfg: DenseRegConfig = DenseRegConfig(),
     seam_valid: jnp.ndarray | None = None,
     num_sensors: int = 8,
+    spherical: bool = True,
 ) -> FramePyramid:
-    """Build the alignment pyramid for one spherical frame.
+    """Build the alignment pyramid for one frame.
 
     seam_valid: optional (H, W) bool mask of trustworthy pixels (False at
-    sensor seams); if None, uniform seam columns are masked like the
-    reference (`RegisterPhotoICP.h:4537-4549`).
+    sensor seams); if None and `spherical`, uniform seam columns are masked
+    like the reference (`RegisterPhotoICP.h:4537-4549`).  Pinhole frames
+    (`spherical=False`) have no stitch seams and skip the masking.
     """
     grays = pyr_ops.build_pyramid(gray, cfg.pyramid_levels)
     depths = pyr_ops.build_depth_pyramid(
@@ -95,7 +99,7 @@ def build_frame_pyramid(
             m = seam_valid[:: 2**lvl, :: 2**lvl].astype(gx.dtype)
             m = m[: gx.shape[0], : gx.shape[1]]
             gx, gy, hx, hy = gx * m, gy * m, hx * m, hy * m
-        else:
+        elif spherical:
             gx = pyr_ops.mask_seams(gx, num_sensors, max(1, cfg.seam_mask_px // 2))
             gy = pyr_ops.mask_seams(gy, num_sensors, max(1, cfg.seam_mask_px // 2))
             hx = pyr_ops.mask_seams(hx, num_sensors, max(1, cfg.seam_mask_px // 2))
@@ -135,23 +139,44 @@ def _pack_target(level_trg):
     )
 
 
-def _src_points(src_depth, cfg):
+def _src_points(src_depth, cfg, intr=None):
     """Pose-invariant source terms, hoisted out of the GN loop (the
-    reference's LUT_xyz_sphere, `RegisterPhotoICP.h:4553-4587`)."""
-    pts = camera.sphere_backproject(src_depth)
+    reference's LUT_xyz_sphere, `RegisterPhotoICP.h:4553-4587`; pinhole
+    LUT_xyz at `:4280-4297` when `intr` is given)."""
+    if intr is None:
+        pts = camera.sphere_backproject(src_depth)
+    else:
+        pts = camera.pinhole_backproject(src_depth, intr)
     valid_src = (src_depth > cfg.min_depth) & (src_depth < cfg.max_depth)
     return pts, valid_src
 
 
-def _warp_terms(pose, pts, valid_src, h, w):
-    """Transform all source points and project to the target pixel grid."""
+def _warp_terms(pose, pts, valid_src, h, w, intr=None):
+    """Transform all source points and project to the target pixel grid.
+
+    intr=None: spherical equirect projection; `rho` is the radial range.
+    intr=(3, 3) K: pinhole projection (reference `errorPhotoICP:560`);
+    `rho` then carries the z-depth, which is the pinhole depth measure.
+    """
     r3 = pose[:3, :3]
     t3 = pose[:3, 3]
-    tp = pts @ r3.T + t3  # (H, W, 3) transformed points
-    rc, rho = camera.sphere_project(tp, h, w)
-    r_i = jnp.round(rc[..., 0]).astype(jnp.int32)
-    c_i = jnp.round(rc[..., 1]).astype(jnp.int32) % w
-    inb = (r_i >= 0) & (r_i < h) & valid_src
+    # Full-f32 point transform: the TPU's default bf16 matmul inputs would
+    # put ~1 px of error into the warp addresses (cm-scale point error at
+    # room range); the (N, 3) x (3, 3) FLOPs are negligible either way.
+    tp = jnp.matmul(pts, r3.T, precision=_HI) + t3
+    if intr is None:
+        rc, rho = camera.sphere_project(tp, h, w)
+        r_i = jnp.round(rc[..., 0]).astype(jnp.int32)
+        c_i = jnp.round(rc[..., 1]).astype(jnp.int32) % w
+        inb = (r_i >= 0) & (r_i < h) & valid_src
+    else:
+        uv, rho = camera.pinhole_project(tp, intr)
+        r_i = jnp.round(uv[..., 1]).astype(jnp.int32)
+        c_i = jnp.round(uv[..., 0]).astype(jnp.int32)
+        inb = (
+            (r_i >= 0) & (r_i < h) & (c_i >= 0) & (c_i < w) & (rho > 1e-6) & valid_src
+        )
+        c_i = jnp.clip(c_i, 0, w - 1)
     r_s = jnp.clip(r_i, 0, h - 1)
     return dict(tp=tp, rho=rho, r=r_s, c=c_i, visible=inb, valid_src=valid_src)
 
@@ -166,7 +191,7 @@ def _huber(err, scale):
 
 
 def _residual_terms(
-    src_gray, pts, valid_src, trg_pack, pose, cfg, method, occlusion=0
+    src_gray, pts, valid_src, trg_pack, pose, cfg, method, occlusion=0, intr=None
 ):
     """Per-pixel weighted residuals + masks for one pyramid level.
 
@@ -178,9 +203,11 @@ def _residual_terms(
     `_sphereOcc1` variants, `RegisterPhotoICP.h:3232-3718`).
     occlusion=2 additionally drops residuals exceeding the depth-outlier
     threshold — moving-object rejection (`_sphereOcc2` + the
-    `mask_dynamic_occlusion` machinery, `:3720-4250`)."""
+    `mask_dynamic_occlusion` machinery, `:3720-4250`; the pinhole occlusion
+    variants `_Occ1:1107` / `_Occ2:1547` are the same tests under the pinhole
+    projection selected by `intr`)."""
     h, w = trg_pack.shape[0], trg_pack.shape[1]
-    wt = _warp_terms(pose, pts, valid_src, h, w)
+    wt = _warp_terms(pose, pts, valid_src, h, w, intr)
     r, c = wt["r"], wt["c"]
     # One gather for all six target channels, addressed by flat linear index:
     # TPU executes a row-gather from an (N, 6) operand ~4x faster than a 2D
@@ -262,22 +289,45 @@ def _proj_jacobian(tp, w):
     )
 
 
-def _hess_grad(level_src, level_trg, pose, cfg, method, occlusion=0):
+def _proj_jacobian_pinhole(tp, intr):
+    """J of (col=u, row=v) wrt the 3D point for a pinhole camera (reference
+    `calcHessGrad:776`: du/dp = (fx/z, 0, -fx x/z^2), dv/dp analogous).
+
+    Returns (..., 2, 3): row 0 = d(u)/dp, row 1 = d(v)/dp.
+    """
+    x, y, z = tp[..., 0], tp[..., 1], tp[..., 2]
+    z_s = jnp.where(jnp.abs(z) > 1e-9, z, 1e-9)
+    z_inv = 1.0 / z_s
+    fx, fy = intr[0, 0], intr[1, 1]
+    zero = jnp.zeros_like(x)
+    row_u = jnp.stack([fx * z_inv, zero, -fx * x * z_inv * z_inv], axis=-1)
+    row_v = jnp.stack([zero, fy * z_inv, -fy * y * z_inv * z_inv], axis=-1)
+    return jnp.stack([row_u, row_v], axis=-2)
+
+
+def _hess_grad(level_src, level_trg, pose, cfg, method, occlusion=0, intr=None):
     """Assemble the 6x6 normal equations (wrapper building hoistable terms)."""
-    pts, valid_src = _src_points(level_src["depth"], cfg)
+    pts, valid_src = _src_points(level_src["depth"], cfg, intr)
     return _hess_grad_packed(
         level_src["gray"], pts, valid_src, _pack_target(level_trg), pose, cfg,
-        method, occlusion,
+        method, occlusion, intr,
     )
 
 
-def _hess_grad_packed(src_gray, pts, valid_src, trg_pack, pose, cfg, method, occlusion=0):
+def _hess_grad_packed(
+    src_gray, pts, valid_src, trg_pack, pose, cfg, method, occlusion=0, intr=None
+):
     """Assemble the 6x6 normal equations for one GN iteration."""
-    t = _residual_terms(src_gray, pts, valid_src, trg_pack, pose, cfg, method, occlusion)
+    t = _residual_terms(
+        src_gray, pts, valid_src, trg_pack, pose, cfg, method, occlusion, intr
+    )
     tp = t["tp"]
     w = trg_pack.shape[1]
 
-    jproj = _proj_jacobian(tp, w)  # (H, W, 2, 3)
+    if intr is None:
+        jproj = _proj_jacobian(tp, w)  # (H, W, 2, 3)
+    else:
+        jproj = _proj_jacobian_pinhole(tp, intr)
     # J_T = [I | -skew(tp)]; chain directly instead of materializing (3, 6):
     # for a row vector a (1x3): a @ J_T = [a | -a x tp ... ] — cross products.
     def chain(a):  # a: (H, W, 3) -> (H, W, 6)
@@ -303,21 +353,25 @@ def _hess_grad_packed(src_gray, pts, valid_src, trg_pack, pose, cfg, method, occ
         jac = jnp.where(t["photo_mask"][..., None], jac, 0.0)
         jf = jac.reshape(-1, 6)
         rf = t["photo_res"].reshape(-1)
-        hess = hess + jf.T @ jf
-        grad = grad + jf.T @ rf
+        hess = hess + jnp.matmul(jf.T, jf, precision=_HI)
+        grad = grad + jnp.matmul(jf.T, rf, precision=_HI)
         stats["photo_sq"] = jnp.sum(rf * rf)
         stats["photo_n"] = jnp.sum(t["photo_mask"])
     if "depth_res" in t:
         g2 = jnp.stack([t["depth_gx"], t["depth_gy"]], axis=-1)
         a = jnp.einsum("...k,...kj->...j", g2, jproj)
-        rho_inv = 1.0 / jnp.maximum(t["rho"], 1e-9)
-        a = a - tp * rho_inv[..., None]  # -d|p|/dp term (reference `:3082`)
+        if intr is None:
+            rho_inv = 1.0 / jnp.maximum(t["rho"], 1e-9)
+            a = a - tp * rho_inv[..., None]  # -d|p|/dp term (reference `:3082`)
+        else:
+            # pinhole depth measure is z: -dz/dp = -e_z (reference `:991`)
+            a = a.at[..., 2].add(-1.0)
         jac = chain_row(a) * t["depth_w"][..., None]
         jac = jnp.where(t["depth_mask"][..., None], jac, 0.0)
         jf = jac.reshape(-1, 6)
         rf = t["depth_res"].reshape(-1)
-        hess = hess + jf.T @ jf
-        grad = grad + jf.T @ rf
+        hess = hess + jnp.matmul(jf.T, jf, precision=_HI)
+        grad = grad + jnp.matmul(jf.T, rf, precision=_HI)
         stats["depth_sq"] = jnp.sum(rf * rf)
         stats["depth_n"] = jnp.sum(t["depth_mask"])
 
@@ -333,16 +387,36 @@ def _hess_grad_packed(src_gray, pts, valid_src, trg_pack, pose, cfg, method, occ
 # ------------------------------------------------------------------ driver
 
 
-class DenseAligner:
-    """Coarse-to-fine spherical alignment engine.
+def scale_intrinsics(k: jnp.ndarray, lvl: int) -> jnp.ndarray:
+    """Pinhole K at pyramid level `lvl` (reference `scaleCameraParams`:
+    fx, fy, cx, cy all halve per level, `RegisterPhotoICP.h:487-495`)."""
+    s = 0.5**lvl
+    return jnp.array(
+        [
+            [k[0, 0] * s, 0.0, k[0, 2] * s],
+            [0.0, k[1, 1] * s, k[1, 2] * s],
+            [0.0, 0.0, 1.0],
+        ],
+        dtype=jnp.float32,
+    )
 
-    Equivalent of one `RegisterPhotoICP` instance driving `alignFrames360`.
-    The whole multi-level optimization is one jitted function per (shape,
-    method) pair.
+
+class DenseAligner:
+    """Coarse-to-fine dense alignment engine.
+
+    Equivalent of one `RegisterPhotoICP` instance driving `alignFrames360`
+    (spherical, the default) or `alignFrames` (`RegisterPhotoICP.h:4254`,
+    pinhole — pass `intrinsics=K` for a single RGB-D camera pair).  The whole
+    multi-level optimization is one jitted function per (shape, method) pair.
     """
 
-    def __init__(self, cfg: DenseRegConfig = DenseRegConfig()):
+    def __init__(
+        self,
+        cfg: DenseRegConfig = DenseRegConfig(),
+        intrinsics: jnp.ndarray | None = None,
+    ):
         self.cfg = cfg
+        self.intrinsics = None if intrinsics is None else jnp.asarray(intrinsics)
         self._align = jax.jit(
             self._align_impl, static_argnames=("method", "occlusion")
         )
@@ -387,7 +461,12 @@ class DenseAligner:
             lsrc = self._level_dicts(src, lvl)
             ltrg = self._level_dicts(trg, lvl)
             src_gray = lsrc["gray"]
-            pts, valid_src = _src_points(lsrc["depth"], cfg)
+            intr = (
+                None
+                if self.intrinsics is None
+                else scale_intrinsics(self.intrinsics, lvl)
+            )
+            pts, valid_src = _src_points(lsrc["depth"], cfg, intr)
             trg_pack = _pack_target(ltrg)
 
             # Salient-pixel sweeps (reference bUseSalientPixels, which gates
@@ -441,7 +520,8 @@ class DenseAligner:
             def body(carry):
                 cand, best, err_best, it, upd, diff, ill_l = carry
                 hess, grad, stats = _hess_grad_packed(
-                    src_gray, pts, valid_src, trg_pack, cand, cfg, method, occlusion
+                    src_gray, pts, valid_src, trg_pack, cand, cfg, method,
+                    occlusion, intr,
                 )
                 err = stats["mean_err"]
                 # Observability guard (reference `:4682-4690`).
@@ -485,14 +565,17 @@ class DenseAligner:
         # behavior, and it avoids a full-resolution dense sweep (~2 ms).
         lsrc = self._level_dicts(src, 0)
         ltrg = self._level_dicts(trg, 0)
+        intr0 = None if self.intrinsics is None else scale_intrinsics(self.intrinsics, 0)
         if cfg.salient_pixels > 0:
             sg, pts0, vs0 = salient_l0
             hess_out, _, stats = _hess_grad_packed(
-                sg, pts0, vs0, _pack_target(ltrg), pose, cfg, method, occlusion
+                sg, pts0, vs0, _pack_target(ltrg), pose, cfg, method, occlusion, intr0
             )
             size = sg.shape[0]
         else:
-            hess_out, _, stats = _hess_grad(lsrc, ltrg, pose, cfg, method, occlusion)
+            hess_out, _, stats = _hess_grad(
+                lsrc, ltrg, pose, cfg, method, occlusion, intr0
+            )
             size = lsrc["depth"].size
         sso = stats["visible"] / size
         av_photo = jnp.sqrt(

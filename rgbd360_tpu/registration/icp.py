@@ -43,7 +43,10 @@ def _target_normals(depth):
 
 def _icp_sweep(pose, src_pts, src_valid, trg_pts, trg_norm, trg_valid, cfg, variant, max_corr_dist):
     h, w = src_valid.shape
-    tp = src_pts @ pose[:3, :3].T + pose[:3, 3]
+    # full-f32 point transform (TPU bf16 default would blur correspondences)
+    tp = jnp.matmul(
+        src_pts, pose[:3, :3].T, precision=jax.lax.Precision.HIGHEST
+    ) + pose[:3, 3]
     rc, _ = camera.sphere_project(tp, h, w)
     r = jnp.clip(jnp.round(rc[..., 0]).astype(jnp.int32), 0, h - 1)
     c = jnp.round(rc[..., 1]).astype(jnp.int32) % w
