@@ -184,6 +184,11 @@ class GraphConfig:
     max_iters: int = 10
     lm_lambda0: float = 1e-5
     lm_step: float = 10.0
+    # Robust loop-closure handling: Dynamic Covariance Scaling on edges
+    # marked as loop closures (the RRR-class capability the reference's
+    # broken `RRR.hpp` include reached for; `include/GraphOptimizer.h:28`).
+    robust_lc: bool = True
+    dcs_phi: float = 10.0
 
 
 @dataclass(frozen=True)

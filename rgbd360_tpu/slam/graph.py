@@ -82,7 +82,24 @@ def _adjoint(t4):
     return jnp.concatenate([top, bot], axis=-2)
 
 
-def _graph_normal_equations(poses, graph: PoseGraph):
+def _dcs_scale(e, lam, dcs, dtype):
+    """Per-edge Dynamic Covariance Scaling factors s_e in (0, 1].
+
+    DCS (Agarwal et al., ICRA'13) is the closed-form generalization of
+    switchable constraints: s_e = min(1, 2*phi / (phi + chi2_e)), applied as
+    Λ_e <- s_e^2 Λ_e.  A consistent loop closure keeps s ~ 1; a wrong one is
+    driven toward 0, which is the capability the reference reached for with
+    the (absent) RRR library (`include/GraphOptimizer.h:28-29,76-80`) — here
+    it is a branch-free per-edge formula instead of an external
+    cluster-and-test pass, so it stays inside the jitted LM loop.
+    """
+    loop_w, phi = dcs
+    c_e = jnp.einsum("ei,eil,el->e", e, lam, e)
+    s = jnp.minimum(1.0, 2.0 * phi / jnp.maximum(phi + c_e, 1e-12))
+    return jnp.where(loop_w, s, jnp.ones_like(s)).astype(dtype)
+
+
+def _graph_normal_equations(poses, graph: PoseGraph, dcs=None):
     """Assemble H (N*6, N*6), b (N*6) and total chi2."""
     n = poses.shape[0]
     e, i, j = _edge_residuals(poses, graph)
@@ -95,6 +112,9 @@ def _graph_normal_equations(poses, graph: PoseGraph):
     a = _adjoint(se3.se3_inverse(tj))  # (E, 6, 6) = J_j; J_i = -a
 
     lam = graph.info * w[:, None, None]
+    if dcs is not None:
+        s = _dcs_scale(e, lam, dcs, poses.dtype)
+        lam = lam * (s * s)[:, None, None]
     aw = jnp.einsum("eki,ekl->eil", a, lam)  # A^T * info
     h_jj = jnp.einsum("eil,elm->eim", aw, a)
     b_j = jnp.einsum("eil,el->ei", aw, e)
@@ -128,22 +148,31 @@ def optimize_pose_graph(
     max_iters: int = 10,
     lm_lambda0: float = 1e-5,
     lm_step: float = 10.0,
+    loop_mask: jnp.ndarray | None = None,
+    dcs_phi: float = 10.0,
 ):
     """Levenberg-Marquardt over the whole graph; returns (poses, chi2, iters).
 
     Matches the reference's `optimizeGraph` contract (10 LM iterations,
     dense solve, first vertex fixed, `GraphOptimizer.h:181-209`).
+
+    loop_mask: optional (E,) bool marking loop-closure edges; when given,
+    those edges are robustified with Dynamic Covariance Scaling at kernel
+    width `dcs_phi` (odometry edges stay hard).  Wrong loop closures are
+    then suppressed instead of folding the trajectory (the RRR capability
+    the reference's broken include reached for; see `_dcs_scale`).
     """
     n = graph.poses.shape[0]
+    dcs = None if loop_mask is None else (loop_mask, jnp.asarray(dcs_phi))
 
     def body(carry):
         poses, lam, chi2_prev, it, done = carry
-        h, b, chi2 = _graph_normal_equations(poses, graph)
+        h, b, chi2 = _graph_normal_equations(poses, graph, dcs)
         diag = jnp.diag(jnp.diag(h))
         delta = -jnp.linalg.solve(h + lam * diag + 1e-9 * jnp.eye(n * 6), b)
         delta = delta.reshape(n, 6)
         new_poses = jax.vmap(lambda d, t: se3.se3_exp(d) @ t)(delta, poses)
-        _, _, chi2_new = _graph_normal_equations(new_poses, graph)
+        _, _, chi2_new = _graph_normal_equations(new_poses, graph, dcs)
         improved = chi2_new < chi2
         poses_next = jnp.where(improved, new_poses, poses)
         lam_next = jnp.where(improved, lam / lm_step, lam * lm_step)
@@ -155,7 +184,7 @@ def optimize_pose_graph(
         _, _, _, it, done = carry
         return (it < max_iters) & ~done
 
-    init_chi2 = _graph_normal_equations(graph.poses, graph)[2]
+    init_chi2 = _graph_normal_equations(graph.poses, graph, dcs)[2]
     poses, _, chi2, iters, _ = jax.lax.while_loop(
         cond, body, (graph.poses, jnp.array(lm_lambda0), init_chi2, jnp.array(0), jnp.array(False))
     )
@@ -166,16 +195,37 @@ def graph_chi2(graph: PoseGraph) -> jnp.ndarray:
     return _graph_normal_equations(graph.poses, graph)[2]
 
 
+@jax.jit
+def loop_closure_switches(
+    graph: PoseGraph,
+    poses: jnp.ndarray,
+    loop_mask: jnp.ndarray,
+    dcs_phi: float = 10.0,
+) -> jnp.ndarray:
+    """Per-edge DCS switch values s_e in (0, 1] at the given solution.
+
+    Edges with s well below 1 (e.g. < 0.25) are inconsistent loop closures;
+    callers prune them by clearing `emask` — the analysis half of the RRR
+    reject/recover loop, computed in one vectorized pass.
+    """
+    e, _, _ = _edge_residuals(poses, graph)
+    lam = graph.info * graph.emask.astype(poses.dtype)[:, None, None]
+    return _dcs_scale(e, lam, (loop_mask, jnp.asarray(dcs_phi)), poses.dtype)
+
+
 # ----------------------------------------------------- matrix-free PCG path
 
 
-def _edge_terms(poses, graph: PoseGraph):
+def _edge_terms(poses, graph: PoseGraph, dcs=None):
     """Per-edge quantities reused by chi2 / gradient / matvec:
     m_e = a_e^T Λ_e a_e (E, 6, 6), b contributions, chi2."""
     e, i, j = _edge_residuals(poses, graph)
     w = graph.emask.astype(poses.dtype)
     a = _adjoint(se3.se3_inverse(poses[j]))
     lam = graph.info * w[:, None, None]
+    if dcs is not None:
+        s = _dcs_scale(e, lam, dcs, poses.dtype)
+        lam = lam * (s * s)[:, None, None]
     aw = jnp.einsum("eki,ekl->eil", a, lam)
     m_e = jnp.einsum("eil,elm->eim", aw, a)  # (E, 6, 6) PSD blocks
     b_j = jnp.einsum("eil,el->ei", aw, e)
@@ -242,6 +292,8 @@ def optimize_pose_graph_pcg(
     cg_tol: float = 1e-6,
     lm_lambda0: float = 1e-5,
     lm_step: float = 10.0,
+    loop_mask: jnp.ndarray | None = None,
+    dcs_phi: float = 10.0,
 ):
     """LM with a matrix-free block-Jacobi PCG linear solver.
 
@@ -253,10 +305,11 @@ def optimize_pose_graph_pcg(
     """
     n = graph.poses.shape[0]
     prior = _prior_diag(graph, graph.poses.dtype)
+    dcs = None if loop_mask is None else (loop_mask, jnp.asarray(dcs_phi))
 
     def body(carry):
         poses, lam, chi2_prev, it, done = carry
-        m_e, b_j, chi2, i, j = _edge_terms(poses, graph)
+        m_e, b_j, chi2, i, j = _edge_terms(poses, graph, dcs)
         b = jnp.zeros((n, 6), poses.dtype).at[j].add(b_j).at[i].add(-b_j)
         bd0 = _block_diag(m_e, i, j, n, prior, 0.0 * prior)
         lm_diag = lam * bd0 * jnp.eye(6, dtype=poses.dtype)  # damp diagonal
@@ -271,7 +324,7 @@ def optimize_pose_graph_pcg(
             cg_tol,
         )
         new_poses = jax.vmap(lambda d, t: se3.se3_exp(d) @ t)(delta, poses)
-        chi2_new = _edge_terms(new_poses, graph)[2]
+        chi2_new = _edge_terms(new_poses, graph, dcs)[2]
         improved = chi2_new < chi2
         poses_next = jnp.where(improved, new_poses, poses)
         lam_next = jnp.where(improved, lam / lm_step, lam * lm_step)
@@ -289,7 +342,7 @@ def optimize_pose_graph_pcg(
         _, _, _, it, done = carry
         return (it < max_iters) & ~done
 
-    init_chi2 = _edge_terms(graph.poses, graph)[2]
+    init_chi2 = _edge_terms(graph.poses, graph, dcs)[2]
     poses, _, chi2, iters, _ = jax.lax.while_loop(
         cond,
         body,

@@ -55,6 +55,7 @@ class Map360:
     planes: PlaneSet
     graph: PoseGraph
     n_edges: jnp.ndarray
+    edge_is_lc: jnp.ndarray
     sso: jnp.ndarray
     area: jnp.ndarray
     n_areas: jnp.ndarray
@@ -87,6 +88,7 @@ class Map360:
             planes=zero_planes,
             graph=PoseGraph.empty(n, e),
             n_edges=jnp.int32(0),
+            edge_is_lc=jnp.zeros((e,), bool),
             sso=jnp.zeros((n, n), jnp.float32),
             area=jnp.zeros((n,), jnp.int32),
             n_areas=jnp.int32(1),
@@ -140,10 +142,12 @@ class Map360:
         rel: jnp.ndarray,
         info: jnp.ndarray,
         sso: jnp.ndarray | float = 0.0,
+        is_loop: bool = False,
     ) -> "Map360":
         """Record a connection (reference `mmConnectionKFs`, `Map360.h:60`).
 
         rel maps x_i = rel @ x_j (pose of KF j expressed in KF i's frame).
+        is_loop marks loop-closure edges for robust (DCS) treatment.
         """
         if int(self.n_edges) >= self.graph.edges_ij.shape[0]:
             raise RuntimeError(
@@ -163,6 +167,7 @@ class Map360:
                 info=self.graph.info.at[e].set(info),
                 emask=self.graph.emask.at[e].set(True),
             ),
+            edge_is_lc=self.edge_is_lc.at[e].set(bool(is_loop)),
             sso=self.sso.at[i, j].set(sso).at[j, i].set(sso),
         )
 

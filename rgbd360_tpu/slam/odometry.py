@@ -230,8 +230,10 @@ class KeyframeSLAM(TrackerBase):
 
     def _optimize(self):
         g = self.config.graph
+        loop_mask = self.map.edge_is_lc if g.robust_lc else None
         poses, chi2, iters = optimize_pose_graph(
-            self.map.graph, g.max_iters, g.lm_lambda0, g.lm_step
+            self.map.graph, g.max_iters, g.lm_lambda0, g.lm_step,
+            loop_mask=loop_mask, dcs_phi=g.dcs_phi,
         )
         self.map = self.map.with_optimized(poses)
         return float(chi2), int(iters)
@@ -390,6 +392,7 @@ class KeyframeSLAM(TrackerBase):
                 jnp.asarray(lc.rel),
                 jnp.asarray(lc.info),
                 sso=lc.sso,
+                is_loop=True,
             )
         ev["loop_closures"] = len(lcs)
         self.n_loop_closures += len(lcs)

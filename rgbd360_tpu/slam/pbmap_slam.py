@@ -119,13 +119,16 @@ class PbMapGraphSLAM(TrackerBase):
         )
         for lc in lcs:
             self.map = self.map.add_edge(
-                lc.kf_from, lc.kf_to, jnp.asarray(lc.rel), jnp.asarray(lc.info), sso=lc.sso
+                lc.kf_from, lc.kf_to, jnp.asarray(lc.rel), jnp.asarray(lc.info),
+                sso=lc.sso, is_loop=True,
             )
         ev["loop_closures"] = len(lcs)
         if lcs:
             g = self.config.graph
             poses, chi2, _ = optimize_pose_graph(
-                self.map.graph, g.max_iters, g.lm_lambda0, g.lm_step
+                self.map.graph, g.max_iters, g.lm_lambda0, g.lm_step,
+                loop_mask=self.map.edge_is_lc if g.robust_lc else None,
+                dcs_phi=g.dcs_phi,
             )
             self.map = self.map.with_optimized(poses)
             pose = np.asarray(self.map.opt_poses[k])

@@ -90,6 +90,83 @@ class TestPoseGraph:
         assert np.isfinite(np.asarray(poses)).all()
 
 
+class TestRobustDCS:
+    """Robust loop-closure handling (the RRR-class capability): a WRONG loop
+    closure must be suppressed by Dynamic Covariance Scaling instead of
+    folding the trajectory."""
+
+    def _ring_with_false_lc(self, n=12):
+        g, gt = _ring_graph(n=n, noise=0.02, seed=1)
+        edges_ij = np.asarray(g.edges_ij).copy()
+        rels = np.asarray(g.rel).copy()
+        infos = np.asarray(g.info).copy()
+        emask = np.asarray(g.emask).copy()
+        # false loop closure: claims pose 3 and pose 9 (opposite side of the
+        # ring) coincide — a classic perceptual-aliasing failure
+        e = int(emask.sum())
+        edges_ij[e] = (3, 9)
+        rels[e] = np.eye(4)
+        infos[e] = np.eye(6) * 1000
+        emask[e] = True
+        loop_mask = np.zeros(emask.shape[0], bool)
+        loop_mask[e - 1] = True  # the true LC added by _ring_graph
+        loop_mask[e] = True  # the false LC
+        g = PoseGraph(
+            poses=g.poses,
+            vmask=g.vmask,
+            edges_ij=jnp.asarray(edges_ij),
+            rel=jnp.asarray(rels),
+            info=jnp.asarray(infos),
+            emask=jnp.asarray(emask),
+        )
+        return g, gt, jnp.asarray(loop_mask), e
+
+    def _ate(self, poses, gt):
+        return float(
+            np.sqrt(
+                np.mean(
+                    np.sum((np.asarray(poses)[:, :3, 3] - gt[:, :3, 3]) ** 2, axis=1)
+                )
+            )
+        )
+
+    def test_dcs_rejects_false_loop_closure(self):
+        from rgbd360_tpu.slam.graph import loop_closure_switches
+
+        g, gt, loop_mask, e_false = self._ring_with_false_lc()
+        # vanilla LM: the false edge folds the ring
+        poses_v, _, _ = optimize_pose_graph(g, max_iters=20)
+        ate_v = self._ate(poses_v, gt)
+        # DCS: the false edge is switched off, the true one kept
+        poses_r, _, _ = optimize_pose_graph(
+            g, max_iters=20, loop_mask=loop_mask, dcs_phi=10.0
+        )
+        ate_r = self._ate(poses_r, gt)
+        assert ate_r < 0.2, ate_r
+        assert ate_r < ate_v * 0.5, (ate_v, ate_r)
+
+        s = np.asarray(loop_closure_switches(g, poses_r, loop_mask))
+        assert s[e_false] < 0.25, s[e_false]  # false LC identified
+        assert s[e_false - 1] > 0.8, s[e_false - 1]  # true LC kept
+        assert np.all(s[~np.asarray(loop_mask)] == 1.0)  # odometry untouched
+
+    def test_dcs_pcg_matches_dense(self):
+        from rgbd360_tpu.slam.graph import optimize_pose_graph_pcg
+
+        g, gt, loop_mask, _ = self._ring_with_false_lc()
+        pd, _, _ = optimize_pose_graph(g, max_iters=15, loop_mask=loop_mask)
+        pp, _, _ = optimize_pose_graph_pcg(g, max_iters=15, loop_mask=loop_mask)
+        assert abs(self._ate(pd, gt) - self._ate(pp, gt)) < 0.05
+
+    def test_dcs_no_false_positives(self):
+        """With only consistent edges, DCS must not change the solution."""
+        g, gt = _ring_graph(noise=0.02, seed=2)
+        loop_mask = jnp.zeros(g.emask.shape[0], bool).at[-1].set(True)
+        p0, c0, _ = optimize_pose_graph(g, max_iters=20)
+        p1, c1, _ = optimize_pose_graph(g, max_iters=20, loop_mask=loop_mask)
+        assert abs(self._ate(p0, gt) - self._ate(p1, gt)) < 0.03
+
+
 class TestMap:
     def _small_map(self):
         cfg = default_config()
