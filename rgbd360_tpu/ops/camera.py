@@ -79,6 +79,21 @@ def sphere_rays(h: int, w: int, dtype=jnp.float32) -> jnp.ndarray:
     return jnp.stack([x, y, z], axis=-1)
 
 
+def sphere_rays_at(r: jnp.ndarray, c: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Unit rays (..., 3) at the given (row, col) index arrays.
+
+    Identical formulas to `sphere_rays`, evaluated only where needed —
+    computing trig for a salient subset is far cheaper than gathering rows
+    of a precomputed full-image ray table on TPU.
+    """
+    res = 2.0 * jnp.pi / w
+    phi = (0.5 * h - 0.5 - r.astype(jnp.float32)) * res
+    theta = c.astype(jnp.float32) * res
+    sp, cp = jnp.sin(phi), jnp.cos(phi)
+    st, ct = jnp.sin(theta), jnp.cos(theta)
+    return jnp.stack([sp, -cp * st, -cp * ct], axis=-1)
+
+
 def sphere_backproject(depth: jnp.ndarray) -> jnp.ndarray:
     """Organized spherical depth (..., H, W) -> points (..., H, W, 3).
 

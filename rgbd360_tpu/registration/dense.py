@@ -466,7 +466,6 @@ class DenseAligner:
                 if self.intrinsics is None
                 else scale_intrinsics(self.intrinsics, lvl)
             )
-            pts, valid_src = _src_points(lsrc["depth"], cfg, intr)
             trg_pack = _pack_target(ltrg)
 
             # Salient-pixel sweeps (reference bUseSalientPixels, which gates
@@ -481,13 +480,16 @@ class DenseAligner:
                 and src_gray.size > 2 * k_lvl
                 and k_lvl > 0
             ):
+                d_full = lsrc["depth"]
+                h_l, w_l = d_full.shape
+                valid_full = (d_full > cfg.min_depth) & (d_full < cfg.max_depth)
                 score = (
                     jnp.abs(src.gray_gx[lvl])
                     + jnp.abs(src.gray_gy[lvl])
                     + jnp.abs(src.depth_gx[lvl])
                     + jnp.abs(src.depth_gy[lvl])
                 )
-                score = jnp.where(valid_src, score, -1.0).reshape(-1)
+                score = jnp.where(valid_full, score, -1.0).reshape(-1)
                 # Stratified selection: one most-salient pixel per tile of
                 # N/K consecutive pixels.  Unlike a global top-k this needs
                 # no 614k-element sort (0.8 ms on chip) and spreads the
@@ -498,11 +500,29 @@ class DenseAligner:
                 tile = total // k
                 tiles = score[: k * tile].reshape(k, tile)
                 sal_idx = jnp.arange(k) * tile + jnp.argmax(tiles, axis=1)
-                src_gray = src_gray.reshape(-1)[sal_idx]
-                pts = pts.reshape(-1, 3)[sal_idx]
-                valid_src = valid_src.reshape(-1)[sal_idx]
+                # ONE packed row gather for the subset; everything else is
+                # recomputed from the gathered depth (TPU gathers are per-row
+                # latency-bound: three separate takes — and especially a
+                # bit-packed bool take — cost ~6x this single (k, 2) take,
+                # and the full-image backproject they fed from is skipped
+                # entirely).
+                gd = jnp.stack([src_gray.reshape(-1), d_full.reshape(-1)], axis=-1)
+                gd = jnp.take(gd, sal_idx, axis=0)  # (k, 2)
+                src_gray = gd[:, 0]
+                d_s = gd[:, 1]
+                valid_src = (d_s > cfg.min_depth) & (d_s < cfg.max_depth)
+                r_s = sal_idx // w_l
+                c_s = sal_idx % w_l
+                if intr is None:
+                    pts = camera.sphere_rays_at(r_s, c_s, h_l, w_l) * d_s[:, None]
+                else:
+                    xn = (c_s.astype(jnp.float32) - intr[0, 2]) / intr[0, 0]
+                    yn = (r_s.astype(jnp.float32) - intr[1, 2]) / intr[1, 1]
+                    pts = jnp.stack([xn * d_s, yn * d_s, d_s], axis=-1)
                 if lvl == 0:
                     salient_l0 = (src_gray, pts, valid_src)
+            else:
+                pts, valid_src = _src_points(lsrc["depth"], cfg, intr)
 
             # One fused sweep per iteration: evaluate (H, g, err) at the
             # candidate pose; if it improved on the best-so-far, accept and
