@@ -77,13 +77,29 @@ def downsample2_depth(depth: jnp.ndarray) -> jnp.ndarray:
     """2x nearest downsample of depth, keeping valid-aware averaging.
 
     The reference's `DownsampleRGBD::downsamplePointCloud` picks every other
-    pixel; valid-mean preserves more data on TPU at no cost.
+    pixel; valid-mean preserves more data on TPU at no cost.  The 2x2 block
+    sums run as 0/1 matmul sandwiches on the MXU (exact, <= 4 addends) —
+    the minor-axis split reshape + reduce costs ~0.7 ms/frame in relayouts.
     """
-    h2, w2 = depth.shape[-2] // 2, depth.shape[-1] // 2
+    h, w = depth.shape[-2], depth.shape[-1]
+    valid = depth > 0
+    if h % 2 == 0 and w % 2 == 0:
+        from rgbd360_tpu.ops.pyramid import _HI, _box_sum_mats
+
+        a, b = _box_sum_mats(h, w)
+        a = jnp.asarray(a)
+        b = jnp.asarray(b)
+        masked = jnp.where(valid, depth, 0.0)
+        s = jnp.matmul(jnp.matmul(a, masked, precision=_HI), b, precision=_HI)
+        n = jnp.matmul(
+            jnp.matmul(a, valid.astype(depth.dtype), precision=_HI), b, precision=_HI
+        )
+        return jnp.where(n > 0.5, s / jnp.maximum(n, 1.0), 0.0)
+    h2, w2 = h // 2, w // 2
     d = depth[..., : h2 * 2, : w2 * 2].reshape(*depth.shape[:-2], h2, 2, w2, 2)
-    valid = d > 0
-    s = jnp.sum(jnp.where(valid, d, 0.0), axis=(-3, -1))
-    n = jnp.sum(valid, axis=(-3, -1))
+    v = d > 0
+    s = jnp.sum(jnp.where(v, d, 0.0), axis=(-3, -1))
+    n = jnp.sum(v, axis=(-3, -1))
     return jnp.where(n > 0, s / jnp.maximum(n, 1), 0.0)
 
 
