@@ -15,32 +15,77 @@ from rgbd360_tpu.apps._common import add_calib_args, load_calib, save_trajectory
 
 
 def export_map(slam, outdir: Path, voxel: float = 0.05):
-    """Write the global voxel-filtered map cloud, trajectory, and map state
-    (the Map360_Visualizer 'voxelized global map' view as files)."""
+    """Write the map viewer's four view modes as files (reference
+    `Map360_Visualizer` modes, `include/Map360_Visualizer.h:63-68`):
+
+    1. `map.ply`            voxel-filtered global cloud
+    2. `kf_XXX.ply`         per-keyframe overlapping clouds (world frame)
+    3. `selected_kfs.ply`   representative keyframes only (one per area)
+    4. `topology.ply`       keyframe graph: vertices colored by area + edges
+
+    plus `trajectory.ply` / `trajectory_opt.ply` (tracked vs optimized
+    poses, which the viewer overlays) and the checkpointable map state.
+    """
     import jax.numpy as jnp
 
     from rgbd360_tpu.ops import camera, se3
     from rgbd360_tpu.ops.filters import voxel_downsample
-    from rgbd360_tpu.utils.viz import save_ply, save_trajectory_ply
+    from rgbd360_tpu.utils.viz import (
+        AREA_COLORS,
+        save_graph_ply,
+        save_ply,
+        save_trajectory_ply,
+    )
 
     n_kf = int(slam.map.n_kf)
+    area = np.asarray(slam.map.area[:n_kf])
     pts_all, col_all = [], []
+    kf_clouds = []
     for k in range(n_kf):
         d = np.asarray(slam.map.depth[k], np.float32)
         pts = camera.sphere_backproject(jnp.asarray(d))
         pose = jnp.asarray(np.asarray(slam.map.opt_poses[k]))
         pts_w = se3.transform_points(pose, pts.reshape(-1, 3))
         mask = d.reshape(-1) > 0
-        pts_all.append(np.asarray(pts_w)[mask][::4])
+        p = np.asarray(pts_w)[mask][::4]
         g = np.asarray(slam.map.gray[k], np.float32).reshape(-1)[mask][::4]
-        col_all.append(np.stack([g * 255] * 3, axis=1))
+        c = np.stack([g * 255] * 3, axis=1)
+        pts_all.append(p)
+        col_all.append(c)
+        kf_clouds.append((p, c))
     pts = np.vstack(pts_all)
     cols = np.vstack(col_all)
+
+    # mode 1: voxelized global map
     pts_v, cols_v = voxel_downsample(pts, voxel, cols)
     n = save_ply(outdir / "map.ply", pts_v, cols_v)
+    # mode 2: overlapping per-keyframe clouds
+    for k, (p, c) in enumerate(kf_clouds):
+        save_ply(outdir / f"kf_{k:03d}.ply", p[::4], c[::4])
+    # mode 3: representative keyframes only (first KF of each area — the
+    # viewer's vSelectedKFs view)
+    sel = [int(np.argmax(area == a)) for a in np.unique(area)]
+    if sel:
+        save_ply(
+            outdir / "selected_kfs.ply",
+            np.vstack([kf_clouds[k][0] for k in sel]),
+            np.vstack([kf_clouds[k][1] for k in sel]),
+        )
+    # mode 4: keyframe topology (vertices colored by area, graph edges)
+    centers = np.asarray(slam.map.opt_poses[:n_kf, :3, 3])
+    edges = np.asarray(slam.map.graph.edges_ij)[np.asarray(slam.map.graph.emask)]
+    edges = edges[(edges[:, 0] < n_kf) & (edges[:, 1] < n_kf)]
+    save_graph_ply(
+        outdir / "topology.ply", centers, edges, AREA_COLORS[area % len(AREA_COLORS)]
+    )
+
     save_trajectory_ply(outdir / "trajectory.ply", np.stack(slam.trajectory))
+    save_trajectory_ply(outdir / "trajectory_opt.ply", np.asarray(slam.map.opt_poses[:n_kf]))
     slam.map.save(str(outdir / "map.npz"))
-    print(f"map: {n} voxelized points -> {outdir}/map.ply; state -> map.npz")
+    print(
+        f"map: {n} voxelized points -> {outdir}/map.ply; {n_kf} KF clouds, "
+        f"{len(sel)} selected, topology + trajectories; state -> map.npz"
+    )
 
 
 def main(argv=None):

@@ -335,6 +335,17 @@ def segment_planes_sensor(
     )
 
 
+def vertical_planes_mask(
+    planes: PlaneSet, dev_angle_deg: float = 5.0, up_axis: int = 1
+) -> jnp.ndarray:
+    """Mask of valid planes whose normal is horizontal within `dev_angle_deg`
+    — i.e. vertical surfaces like walls (reference
+    `Miscellaneous.h:getVerticalPlanes:208`, which keeps planes with
+    |normal.y| < sin(5 deg) in its gravity frame)."""
+    s = jnp.sin(jnp.deg2rad(dev_angle_deg))
+    return planes.valid & (jnp.abs(planes.normal[..., up_axis]) < s)
+
+
 def transform_planes(planes: PlaneSet, rt: jnp.ndarray) -> PlaneSet:
     """Rigidly transform a PlaneSet (reference `Plane::transform`)."""
     r, t = rt[:3, :3], rt[:3, 3]

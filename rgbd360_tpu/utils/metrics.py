@@ -65,6 +65,13 @@ def rpe(est: np.ndarray, gt: np.ndarray, delta: int = 1):
     )
 
 
+def mean_and_std(v) -> tuple[float, float]:
+    """Mean and standard deviation of a data vector (reference
+    `Miscellaneous.h:calcMeanAndStDev:153`)."""
+    a = np.asarray(v, np.float64)
+    return float(a.mean()), float(a.std())
+
+
 def trajectory_length(poses: np.ndarray) -> float:
     p = np.asarray(poses)[:, :3, 3]
     return float(np.sum(np.linalg.norm(np.diff(p, axis=0), axis=1)))

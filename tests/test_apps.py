@@ -76,8 +76,15 @@ def test_kf_slam_app(tmp_path):
 
     slam = kf_slam.main([SAMPLES, "--out", str(tmp_path)])
     assert int(slam.map.n_kf) == 2
+    # the four Map360_Visualizer view modes as files + both trajectories
     assert (tmp_path / "map.ply").exists()
+    assert (tmp_path / "kf_000.ply").exists() and (tmp_path / "kf_001.ply").exists()
+    assert (tmp_path / "selected_kfs.ply").exists()
+    assert (tmp_path / "topology.ply").exists()
+    assert (tmp_path / "trajectory_opt.ply").exists()
     assert (tmp_path / "map.npz").exists()
+    topo = (tmp_path / "topology.ply").read_bytes()
+    assert b"element edge" in topo and b"red" in topo
 
 
 def test_calibrate_pipeline(tmp_path):
