@@ -110,20 +110,37 @@ def estimate_normals(
     return jnp.where(valid[..., None] & (norm > 1e-9), n, 0.0)
 
 
+def _seg_scan_dir(lab, brk, axis, reverse):
+    """One-direction segmented min-scan via Hillis-Steele doubling with
+    `jnp.roll` shifts.  Mathematically identical to
+    `lax.associative_scan(combine, (lab, brk)))` with
+    combine((m1,r1),(m2,r2)) = (r2 ? m2 : min(m1,m2), r1|r2), but lowers to
+    ~log2(n) fused elementwise kernels instead of associative_scan's
+    pad/slice chains (which cost ~0.2 ms apiece on TPU and dominated the
+    labeling loop)."""
+    n = lab.shape[axis]
+    shape = [1] * lab.ndim
+    shape[axis] = n
+    idx = jnp.arange(n).reshape(shape)
+    v, f = lab, brk
+    d = 1
+    while d < n:
+        s = -d if reverse else d
+        ok = (idx < n - d) if reverse else (idx >= d)
+        vp = jnp.roll(v, s, axis)
+        fp = jnp.roll(f, s, axis)
+        v = jnp.where(ok & ~f, jnp.minimum(v, vp), v)
+        f = jnp.where(ok, f | fp, f)
+        d *= 2
+    return v
+
+
 def _seg_min_scan(lab, r_fwd, r_bwd, axis):
     """Min within each contiguous compatible run along `axis`, both
     directions (segmented min-scan; r_fwd/r_bwd are the precomputed
     run-break masks for the forward/backward direction)."""
-
-    def combine(a, b):
-        m1, r1 = a
-        m2, r2 = b
-        return jnp.where(r2, m2, jnp.minimum(m1, m2)), r1 | r2
-
-    fwd, _ = jax.lax.associative_scan(combine, (lab, r_fwd), axis=axis)
-    bwd, _ = jax.lax.associative_scan(
-        combine, (lab, r_bwd), axis=axis, reverse=True
-    )
+    fwd = _seg_scan_dir(lab, r_fwd, axis, reverse=False)
+    bwd = _seg_scan_dir(lab, r_bwd, axis, reverse=True)
     return jnp.minimum(fwd, bwd)
 
 
@@ -226,34 +243,44 @@ def segment_planes_sensor(
     nbins = h * w + 1
 
     ones = valid.reshape(-1).astype(jnp.float32)
-    counts = jax.ops.segment_sum(ones, flat_lab, nbins)
+    # Label histogram WITHOUT a scatter (segment_sum is per-element
+    # latency-bound, ~1.3 ms here): factor the bin index as hi*128 + lo and
+    # accumulate the two-level one-hot outer product on the MXU —
+    # counts2d = OneHotHi^T-free (n_hi, N) @ (N, 128) matmul; bf16 0/1
+    # inputs with f32 accumulation keep integer counts exact.
+    n_hi = (nbins + 127) // 128
+    oh_hi = (flat_lab[None, :] // 128 == jnp.arange(n_hi)[:, None]).astype(
+        jnp.bfloat16
+    )
+    oh_lo = (flat_lab[:, None] % 128 == jnp.arange(128)[None, :]).astype(jnp.bfloat16)
+    counts = jnp.matmul(oh_hi, oh_lo, preferred_element_type=jnp.float32)
+    counts = counts.reshape(-1)[:nbins]
 
     # top-K components by size
     k_counts, k_labels = jax.lax.top_k(counts[:-1], k_cap)
     seg_ok = k_counts >= cfg.min_inliers
 
-    # map pixel -> selected segment slot (or k_cap if none)
-    slot_of_label = jnp.full((nbins,), k_cap, dtype=jnp.int32)
-    slot_of_label = slot_of_label.at[k_labels].set(jnp.arange(k_cap, dtype=jnp.int32))
-    slot = slot_of_label[flat_lab]  # (H*W,)
+    # pixel -> slot membership by DIRECT comparison against the K winning
+    # labels: a (K, N) fused elementwise compare.  (The former form built a
+    # label->slot table and gathered it per pixel — a 153k-row gather,
+    # ~1.2 ms/frame; gathers/scatters are per-element latency-bound on TPU.)
+    member = flat_lab[None, :] == k_labels[:, None]  # (K, N) bool
 
     pf = p.reshape(-1, 3)
     # Per-slot sums as ONE one-hot matmul on the MXU: with K<=16 slots the
-    # (K+1, N) one-hot times (N, d) moment matrix is ~20 MFLOP, while the
+    # (K, N) one-hot times (N, d) moment matrix is ~20 MFLOP, while the
     # equivalent segment_sum scatters ran ~8 ms/frame on TPU (scatter is
     # per-element latency-bound, like gather).
-    onehot = (slot[None, :] == jnp.arange(k_cap + 1)[:, None]).astype(
-        jnp.float32
-    )  # (K+1, N)
+    onehot = member.astype(jnp.float32)  # (K, N)
     ppt = (pf[:, :, None] * pf[:, None, :]).reshape(-1, 9)
     moments = jnp.concatenate(
         [ones[:, None], pf * ones[:, None], ppt * ones[:, None]], axis=1
     )  # (N, 13)
     hi = jax.lax.Precision.HIGHEST  # full-f32 accumulation on the MXU
-    segsum = jnp.matmul(onehot, moments, precision=hi)[:k_cap]  # (K, 13)
+    segsum = jnp.matmul(onehot, moments, precision=hi)  # (K, 13)
     seg = lambda vals: jnp.matmul(
         onehot, vals if vals.ndim == 2 else vals[:, None], precision=hi
-    )[:k_cap]
+    )
 
     s1 = segsum[:, 0]
     sp = segsum[:, 1:4]
@@ -277,7 +304,6 @@ def segment_planes_sensor(
     # NOTE: (K, H*W) coordinates; K<=16 keeps this small (~5 MB at 160x120).
     u = jnp.einsum("knj,kj->kn", rel, e1)
     v = jnp.einsum("knj,kj->kn", rel, e2)
-    member = (slot[None, :] == jnp.arange(k_cap)[:, None]) & (ones[None, :] > 0)
 
     # extreme points along hull_dirs directions -> polygon
     angles = jnp.linspace(0, 2 * jnp.pi, cfg.hull_dirs, endpoint=False)
