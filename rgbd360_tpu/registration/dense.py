@@ -519,8 +519,6 @@ class DenseAligner:
                     xn = (c_s.astype(jnp.float32) - intr[0, 2]) / intr[0, 0]
                     yn = (r_s.astype(jnp.float32) - intr[1, 2]) / intr[1, 1]
                     pts = jnp.stack([xn * d_s, yn * d_s, d_s], axis=-1)
-                if lvl == 0:
-                    salient_l0 = (src_gray, pts, valid_src)
             else:
                 pts, valid_src = _src_points(lsrc["depth"], cfg, intr)
 
@@ -529,7 +527,7 @@ class DenseAligner:
             # step, else terminate (reference semantics: a rejected step sets
             # diff_error <= tol which exits the loop, `:4715-4722`).
             def cond(carry):
-                cand, best, err_best, it, upd, diff, ill_l = carry
+                cand, best, err_best, it, upd, diff, ill_l = carry[:7]
                 return (
                     (it < cfg.max_iters_per_level)
                     & (upd > cfg.tol_update)
@@ -538,7 +536,7 @@ class DenseAligner:
                 )
 
             def body(carry):
-                cand, best, err_best, it, upd, diff, ill_l = carry
+                cand, best, err_best, it, upd, diff, ill_l, h_best, st_best = carry
                 hess, grad, stats = _hess_grad_packed(
                     src_gray, pts, valid_src, trg_pack, cand, cfg, method,
                     occlusion, intr,
@@ -552,6 +550,15 @@ class DenseAligner:
                 accept = improved & ~bad
                 best_next = jnp.where(accept, cand, best)
                 err_next = jnp.where(accept, err, err_best)
+                # Carry the Hessian + statistics of the ACCEPTED evaluation:
+                # at loop exit they ARE the final pose's information matrix /
+                # SSO / residuals, so no separate post-loop statistics sweep
+                # is needed (saves one full evaluation per alignment;
+                # reference `:759-762`, `:3226`).
+                h_next = jnp.where(accept, hess, h_best)
+                st_next = {
+                    k: jnp.where(accept, stats[k], st_best[k]) for k in st_best
+                }
                 next_cand = se3.se3_exp(update) @ cand
                 cand_next = jnp.where(accept, next_cand, best_next)
                 it = it + jnp.where(accept, 1, 0)
@@ -564,8 +571,15 @@ class DenseAligner:
                     jnp.linalg.norm(update),
                     diff_next,
                     ill_l | bad,
+                    h_next,
+                    st_next,
                 )
 
+            stats0 = {"mean_err": jnp.array(0.0), "visible": jnp.array(0)}
+            if method in (PHOTO_CONSISTENCY, PHOTO_DEPTH):
+                stats0.update(photo_sq=jnp.array(0.0), photo_n=jnp.array(0))
+            if method in (DEPTH_CONSISTENCY, PHOTO_DEPTH):
+                stats0.update(depth_sq=jnp.array(0.0), depth_n=jnp.array(0))
             carry = (
                 pose,
                 pose,
@@ -574,29 +588,18 @@ class DenseAligner:
                 jnp.array(1.0),
                 jnp.array(1.0),
                 ill,
+                jnp.zeros((6, 6)),
+                stats0,
             )
-            _, pose, err, n_it, _, _, ill = jax.lax.while_loop(cond, body, carry)
+            out = jax.lax.while_loop(cond, body, carry)
+            _, pose, err, n_it, _, _, ill, hess_lvl, stats_lvl = out
             iters.append(jnp.maximum(n_it, 0))
+            if lvl == 0:
+                hess_out, stats = hess_lvl, stats_lvl
+                size = src_gray.size
 
-        # Final statistics at level 0 (Hessian = information matrix, SSO,
-        # average residuals; reference `:759-762`, `:3226`).  With salient
-        # pixels enabled the final sweep runs on the same subset the finest
-        # level optimized — exactly the reference's bUseSalientPixels
-        # behavior, and it avoids a full-resolution dense sweep (~2 ms).
-        lsrc = self._level_dicts(src, 0)
-        ltrg = self._level_dicts(trg, 0)
-        intr0 = None if self.intrinsics is None else scale_intrinsics(self.intrinsics, 0)
-        if cfg.salient_pixels > 0:
-            sg, pts0, vs0 = salient_l0
-            hess_out, _, stats = _hess_grad_packed(
-                sg, pts0, vs0, _pack_target(ltrg), pose, cfg, method, occlusion, intr0
-            )
-            size = sg.shape[0]
-        else:
-            hess_out, _, stats = _hess_grad(
-                lsrc, ltrg, pose, cfg, method, occlusion, intr0
-            )
-            size = lsrc["depth"].size
+        # Final statistics come from the level-0 loop's last ACCEPTED
+        # evaluation (Hessian = information matrix, SSO, average residuals).
         sso = stats["visible"] / size
         av_photo = jnp.sqrt(
             stats.get("photo_sq", jnp.array(0.0))
