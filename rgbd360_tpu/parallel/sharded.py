@@ -132,14 +132,19 @@ def sharded_pair_align(mesh: Mesh, src_gray, src_depth, trg_pack, poses, cfg, me
 # ------------------------------------------------------- distributed graph
 
 
-def _local_normal_contribs(poses, graph: PoseGraph):
+def _local_normal_contribs(poses, graph: PoseGraph, dcs=None):
     """Per-edge H/b contributions for the edges in this shard (same math as
     slam.graph._graph_normal_equations, minus the global scatter)."""
+    from rgbd360_tpu.slam.graph import _dcs_scale
+
     e, i, j = _edge_residuals(poses, graph)
     w = graph.emask.astype(poses.dtype)
     tj = poses[j]
     a = _adjoint(se3.se3_inverse(tj))
     lam = graph.info * w[:, None, None]
+    if dcs is not None:
+        s = _dcs_scale(e, lam, dcs, poses.dtype)
+        lam = lam * (s * s)[:, None, None]
     aw = jnp.einsum("eki,ekl->eil", a, lam)
     h_jj = jnp.einsum("eil,elm->eim", aw, a)
     b_j = jnp.einsum("eil,el->ei", aw, e)
@@ -291,6 +296,8 @@ def distributed_pose_graph_pcg(
     cg_tol: float = 1e-6,
     lm_lambda0: float = 1e-5,
     lm_step: float = 10.0,
+    loop_mask: jnp.ndarray | None = None,
+    dcs_phi: float = 10.0,
 ):
     """Edge- AND vertex-sharded, matrix-free distributed pose-graph LM.
 
@@ -324,7 +331,7 @@ def distributed_pose_graph_pcg(
         """Sum over devices, keep this device's vertex block."""
         return jax.lax.psum_scatter(full, "kf", scatter_dimension=0, tiled=True)
 
-    def local_lm_step(poses, lam, prior_sh, edges_ij, rel, info, emask):
+    def local_lm_step(poses, lam, prior_sh, edges_ij, rel, info, emask, loop_w):
         g_local = PoseGraph(
             poses=poses,
             vmask=jnp.ones((n,), bool),
@@ -333,7 +340,10 @@ def distributed_pose_graph_pcg(
             info=info,
             emask=emask,
         )
-        m_e, b_j, chi2_l, i, j = _edge_terms(poses, g_local)
+        # robust loop closures (DCS) on the local edge shard — the switch is
+        # a per-edge formula, so it distributes with the edges for free
+        dcs = None if loop_mask is None else (loop_w, jnp.asarray(dcs_phi))
+        m_e, b_j, chi2_l, i, j = _edge_terms(poses, g_local, dcs)
         # vertex-sharded right-hand side and Jacobi blocks
         b_sh = scatter(jnp.zeros((n, 6)).at[j].add(b_j).at[i].add(-b_j))
         chi2 = jax.lax.psum(chi2_l, "kf")
@@ -357,20 +367,24 @@ def distributed_pose_graph_pcg(
         )
         delta = jax.lax.all_gather(delta_sh, "kf", axis=0, tiled=True)
         new_poses = jax.vmap(lambda d, t: se3.se3_exp(d) @ t)(delta, poses)
-        chi2_new = jax.lax.psum(_edge_terms(new_poses, g_local)[2], "kf")
+        chi2_new = jax.lax.psum(_edge_terms(new_poses, g_local, dcs)[2], "kf")
         return new_poses, chi2, chi2_new
 
     step = _shard_map(
         local_lm_step,
         mesh=mesh,
-        in_specs=(P(), P(), P("kf"), P("kf"), P("kf"), P("kf"), P("kf")),
+        in_specs=(P(), P(), P("kf"), P("kf"), P("kf"), P("kf"), P("kf"), P("kf")),
         out_specs=(P(), P(), P()),
+    )
+    lm_arr = (
+        jnp.zeros((graph.edges_ij.shape[0],), bool) if loop_mask is None else loop_mask
     )
 
     def body(carry):
         poses, lam, chi2_prev, it, done = carry
         new_poses, chi2, chi2_new = step(
-            poses, lam, prior, graph.edges_ij, graph.rel, graph.info, graph.emask
+            poses, lam, prior, graph.edges_ij, graph.rel, graph.info, graph.emask,
+            lm_arr,
         )
         improved = chi2_new < chi2
         rel_impr = (chi2 - chi2_new) / jnp.maximum(chi2, 1e-12)

@@ -113,3 +113,23 @@ def test_distributed_pcg_matches_single(mesh):
     poses_d, chi2_d, _ = distributed_pose_graph_pcg(mesh, g, max_iters=15)
     np.testing.assert_allclose(np.asarray(chi2_d), np.asarray(chi2_s), rtol=0.05)
     np.testing.assert_allclose(np.asarray(poses_d), np.asarray(poses_s), atol=5e-3)
+
+
+def test_distributed_pcg_robust_dcs(mesh):
+    """DCS robustification must distribute with the edge shards: the
+    sharded solver with a false loop closure matches the unsharded robust
+    solution."""
+    import sys, pathlib
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent))
+    import jax.numpy as jnp
+    from test_slam import TestRobustDCS
+    from rgbd360_tpu.parallel.sharded import distributed_pose_graph_pcg
+    from rgbd360_tpu.slam.graph import optimize_pose_graph_pcg
+
+    t = TestRobustDCS()
+    g, gt, loop_mask, e_false = t._ring_with_false_lc(n=16)
+    ps, _, _ = optimize_pose_graph_pcg(g, max_iters=15, loop_mask=loop_mask)
+    pd, _, _ = distributed_pose_graph_pcg(mesh, g, max_iters=15, loop_mask=loop_mask)
+    np.testing.assert_allclose(np.asarray(pd), np.asarray(ps), atol=5e-3)
+    assert t._ate(pd, gt) < 0.2
