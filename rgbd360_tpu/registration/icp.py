@@ -41,7 +41,7 @@ def _target_normals(depth):
     return jnp.where((depth > 0)[..., None] & (norm > 1e-9), n, 0.0)
 
 
-def _icp_sweep(pose, src_pts, src_valid, trg_pts, trg_norm, trg_valid, cfg, variant, max_corr_dist):
+def _icp_sweep(pose, src_pts, src_valid, trg_pack, cfg, variant, max_corr_dist):
     h, w = src_valid.shape
     # full-f32 point transform (TPU bf16 default would blur correspondences)
     tp = jnp.matmul(
@@ -52,9 +52,13 @@ def _icp_sweep(pose, src_pts, src_valid, trg_pts, trg_norm, trg_valid, cfg, vari
     c = jnp.round(rc[..., 1]).astype(jnp.int32) % w
     inb = (rc[..., 0] >= 0) & (rc[..., 0] < h) & src_valid
 
-    q = trg_pts[r, c]
-    qn = trg_norm[r, c]
-    qv = trg_valid[r, c]
+    # one flat (N, 7) row gather of [point, normal, valid] per sweep — TPU
+    # gathers are per-row latency-bound, so three separate takes (and a
+    # bit-packed bool take in particular) cost several times this form
+    tv = jnp.take(trg_pack.reshape(-1, 7), r * w + c, axis=0)
+    q = tv[..., 0:3]
+    qn = tv[..., 3:6]
+    qv = tv[..., 6] > 0.5
     diff = q - tp
     dist = jnp.linalg.norm(diff, axis=-1)
     m = inb & qv & (dist < max_corr_dist)
@@ -125,11 +129,17 @@ class ICPAligner:
             trg_pts = camera.sphere_backproject(td)
             trg_norm = _target_normals(td)
             trg_valid = (td > cfg.min_depth) & (td < cfg.max_depth)
+            # hoisted: target channels packed once per level for the sweep's
+            # single flat row gather
+            trg_pack = jnp.concatenate(
+                [trg_pts, trg_norm, trg_valid[..., None].astype(jnp.float32)],
+                axis=-1,
+            )
 
             def body(i, carry):
                 pose, _, _, _ = carry
                 hess, grad, err2, n = _icp_sweep(
-                    pose, src_pts, src_valid, trg_pts, trg_norm, trg_valid,
+                    pose, src_pts, src_valid, trg_pack,
                     cfg, self.variant, self.max_corr_dist,
                 )
                 bad = (jnp.linalg.det(hess) < 1e-10) | (n < 100)
