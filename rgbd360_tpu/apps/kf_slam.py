@@ -94,6 +94,8 @@ def main(argv=None):
     p.add_argument("--out", default=None)
     p.add_argument("--pbmap", action="store_true",
                    help="PbMap-tracking graph SLAM (reference SphereGraphSLAM)")
+    p.add_argument("--timing", action="store_true",
+                   help="print per-stage wall times (the reference's stage timers)")
     add_calib_args(p)
     args = p.parse_args(argv)
 
@@ -122,6 +124,8 @@ def main(argv=None):
         f"done: {n_kf} keyframes, {int(slam.map.n_edges)} edges, "
         f"{int(slam.map.n_areas)} areas"
     )
+    if args.timing and hasattr(slam, "timer"):
+        print(slam.timer.report())
     if args.out:
         outdir = Path(args.out)
         outdir.mkdir(parents=True, exist_ok=True)

@@ -40,6 +40,7 @@ from rgbd360_tpu.slam.map import Map360
 from rgbd360_tpu.slam.graph import optimize_pose_graph
 from rgbd360_tpu.slam.relocalizer import Relocalizer
 from rgbd360_tpu.slam.topological import partition_map
+from rgbd360_tpu.utils.trace import StageTimer
 
 
 def fetch(tree):
@@ -78,11 +79,17 @@ class TrackerBase:
         self._pyr = jax.jit(
             lambda g, d: D.build_frame_pyramid(g, d, self.config.dense, seam)
         )
+        # Stage taxonomy as first-class named trace regions (the reference's
+        # ad-hoc per-stage timers, SURVEY 5.1); `print(tracker.timer.report())`
+        self.timer = StageTimer()
 
     def make_state(self, raw) -> FrameState:
-        sphere = self.builder.build_from_raw(raw)
-        pyramid = self._pyr(sphere.sphere_gray, sphere.sphere_depth)
-        planes = self.builder.segment_planes(sphere)
+        with self.timer.region("build"):
+            sphere = self.builder.build_from_raw(raw)
+        with self.timer.region("pyramid"):
+            pyramid = self._pyr(sphere.sphere_gray, sphere.sphere_depth)
+        with self.timer.region("segment"):
+            planes = self.builder.segment_planes(sphere)
         return FrameState(sphere=sphere, pyramid=pyramid, planes=planes)
 
     # Seeded solves whose final mean residual exceeds this are suspect
@@ -231,10 +238,11 @@ class KeyframeSLAM(TrackerBase):
     def _optimize(self):
         g = self.config.graph
         loop_mask = self.map.edge_is_lc if g.robust_lc else None
-        poses, chi2, iters = optimize_pose_graph(
-            self.map.graph, g.max_iters, g.lm_lambda0, g.lm_step,
-            loop_mask=loop_mask, dcs_phi=g.dcs_phi,
-        )
+        with self.timer.region("optimize"):
+            poses, chi2, iters = optimize_pose_graph(
+                self.map.graph, g.max_iters, g.lm_lambda0, g.lm_step,
+                loop_mask=loop_mask, dcs_phi=g.dcs_phi,
+            )
         self.map = self.map.with_optimized(poses)
         return float(chi2), int(iters)
 
@@ -280,12 +288,14 @@ class KeyframeSLAM(TrackerBase):
             kf_planes = self.kf_state.planes
 
         # plane fast path (reference KFsphere_SLAM.cpp:314,354-366)
-        pb = self.plane_reg.register(kf_planes, state.planes, mode=PLANAR_3DOF)
+        with self.timer.region("register_pbmap"):
+            pb = self.plane_reg.register(kf_planes, state.planes, mode=PLANAR_3DOF)
         kf_pose = np.asarray(self.map.opt_poses[self.current_kf])
 
         # dense tracking: T_kf<-new (reference :370-373)
         seed = jnp.asarray(pb.pose) if bool(pb.success) else jnp.eye(4)
-        res = fetch(self.align_with_fallback(state.pyramid, kf_pyr, seed))
+        with self.timer.region("register_dense"):
+            res = fetch(self.align_with_fallback(state.pyramid, kf_pyr, seed))
         rel = np.asarray(res.pose)
         depth_res = float(res.av_depth_residual)
         ev["av_depth_residual"] = depth_res
@@ -376,15 +386,16 @@ class KeyframeSLAM(TrackerBase):
         ev["connections"] = n_connections
 
         # loop closures for the new keyframe
-        lcs = self.loop_closer.search(
-            self.map,
-            state.planes,
-            state.sphere.sphere_gray,
-            state.sphere.sphere_depth,
-            jnp.asarray(self.pose),
-            k,
-            pyr_cache=self._kf_pyr_cache,
-        )
+        with self.timer.region("loop_closure"):
+            lcs = self.loop_closer.search(
+                self.map,
+                state.planes,
+                state.sphere.sphere_gray,
+                state.sphere.sphere_depth,
+                jnp.asarray(self.pose),
+                k,
+                pyr_cache=self._kf_pyr_cache,
+            )
         for lc in lcs:
             self.map = self.map.add_edge(
                 lc.kf_from,

@@ -202,6 +202,35 @@ class TestMap:
         assert int(m2.n_kf) == 1
         np.testing.assert_allclose(np.asarray(m2.poses), np.asarray(m.poses))
 
+    def test_orbax_checkpoint_roundtrip(self, tmp_path):
+        """The map is a registered pytree, so standard Orbax checkpointing
+        works on it directly (SURVEY 5.4: map/graph state as an
+        Orbax-checkpointable pytree for the distributed runs)."""
+        import orbax.checkpoint as ocp
+
+        m, _ = self._small_map()
+        gray = jnp.ones((32, 64))
+        depth = jnp.full((32, 64), 2.0)
+        planes = jax.tree_util.tree_map(lambda a: a[0], m.planes)
+        m = m.add_keyframe(jnp.eye(4), gray, depth, planes)
+        m = m.add_keyframe(
+            jnp.asarray(se3.se3_exp(jnp.array([0.4, 0, 0, 0, 0, 0]))),
+            gray,
+            depth,
+            planes,
+        )
+        m = m.add_edge(0, 1, jnp.eye(4), jnp.eye(6) * 10, sso=0.5, is_loop=True)
+
+        ckpt = ocp.StandardCheckpointer()
+        path = tmp_path / "ckpt"
+        ckpt.save(path, m)
+        ckpt.wait_until_finished()
+        m2 = ckpt.restore(path, m)
+        assert int(m2.n_kf) == 2 and int(m2.n_edges) == 1
+        assert bool(m2.edge_is_lc[0])
+        for a, b in zip(jax.tree_util.tree_leaves(m), jax.tree_util.tree_leaves(m2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
 
 class TestTopological:
     def test_two_clusters(self):
