@@ -151,7 +151,7 @@ class RigDenseAligner:
             src_gray = lsrc["gray"]
 
             def cond(carry):
-                cand, best, err_best, it, upd, diff, ill_l = carry
+                cand, best, err_best, it, upd, diff, ill_l = carry[:7]
                 return (
                     (it < cfg.max_iters_per_level)
                     & (upd > cfg.tol_update)
@@ -160,7 +160,7 @@ class RigDenseAligner:
                 )
 
             def body(carry):
-                cand, best, err_best, it, upd, diff, ill_l = carry
+                cand, best, err_best, it, upd, diff, ill_l, h_best, st_best = carry
                 hess, grad, stats = self._joint_normal_eqs(
                     src_gray, pts, valid, trg_pack, cand, intr, method, occlusion
                 )
@@ -172,6 +172,12 @@ class RigDenseAligner:
                 accept = improved & ~bad
                 best_next = jnp.where(accept, cand, best)
                 err_next = jnp.where(accept, err, err_best)
+                # carry the accepted evaluation's H/stats — they ARE the
+                # final statistics at loop exit (no post-loop sweep needed)
+                h_next = jnp.where(accept, hess, h_best)
+                st_next = {
+                    k: jnp.where(accept, stats[k], st_best[k]) for k in st_best
+                }
                 next_cand = se3.se3_exp(update) @ cand
                 cand_next = jnp.where(accept, next_cand, best_next)
                 it = it + jnp.where(accept, 1, 0)
@@ -184,8 +190,18 @@ class RigDenseAligner:
                     jnp.linalg.norm(update),
                     diff_next,
                     ill_l | bad,
+                    h_next,
+                    st_next,
                 )
 
+            stats0 = dict(
+                mean_err=jnp.array(0.0),
+                visible=jnp.array(0),
+                photo_sq=jnp.array(0.0),
+                photo_n=jnp.array(0),
+                depth_sq=jnp.array(0.0),
+                depth_n=jnp.array(0),
+            )
             carry = (
                 pose,
                 pose,
@@ -194,19 +210,17 @@ class RigDenseAligner:
                 jnp.array(1.0),
                 jnp.array(1.0),
                 ill,
+                jnp.zeros((6, 6)),
+                stats0,
             )
-            _, pose, err, n_it, _, _, ill = jax.lax.while_loop(cond, body, carry)
+            out = jax.lax.while_loop(cond, body, carry)
+            _, pose, err, n_it, _, _, ill, hess_lvl, stats_lvl = out
             iters.append(jnp.maximum(n_it, 0))
+            if lvl == 0:
+                hess_out, stats = hess_lvl, stats_lvl
+                size = lsrc["depth"].size
 
-        # Final joint statistics at level 0.
-        lsrc = self._level_arrays(src, 0)
-        ltrg = self._level_arrays(trg, 0)
-        intr0 = scale_intrinsics(self.k, 0)
-        pts, valid = jax.vmap(lambda d: _src_points(d, cfg, intr0))(lsrc["depth"])
-        hess_out, _, stats = self._joint_normal_eqs(
-            lsrc["gray"], pts, valid, _pack_target(ltrg), pose, intr0, method, occlusion
-        )
-        sso = stats["visible"] / lsrc["depth"].size
+        sso = stats["visible"] / size
         av_photo = jnp.sqrt(stats["photo_sq"] / jnp.maximum(stats["photo_n"], 1))
         av_depth = jnp.sqrt(stats["depth_sq"] / jnp.maximum(stats["depth_n"], 1))
 
