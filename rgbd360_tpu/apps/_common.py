@@ -21,6 +21,22 @@ def add_calib_args(p: argparse.ArgumentParser):
         action="store_true",
         help="skip CLAMS depth undistortion models",
     )
+    p.add_argument(
+        "--matcher-ini",
+        default=None,
+        help="reference-format configLocaliser INI with the plane-matcher "
+        "thresholds (reference config_files/configLocaliser_*.ini)",
+    )
+
+
+def matcher_config(args):
+    """MatcherConfig from --matcher-ini when given, else the baked defaults
+    (which equal configLocaliser_sphericalOdometry.ini)."""
+    from rgbd360_tpu.config import MatcherConfig
+
+    if getattr(args, "matcher_ini", None):
+        return MatcherConfig.from_ini(args.matcher_ini)
+    return MatcherConfig()
 
 
 def load_calib(args):

@@ -17,7 +17,7 @@ from pathlib import Path
 import numpy as np
 import jax.numpy as jnp
 
-from rgbd360_tpu.apps._common import add_calib_args, load_calib
+from rgbd360_tpu.apps._common import add_calib_args, load_calib, matcher_config
 from rgbd360_tpu.ops.pyramid import build_depth_pyramid
 
 
@@ -42,7 +42,7 @@ def main(argv=None):
     ps1 = builder.segment_planes(f1)
     ps2 = builder.segment_planes(f2)
 
-    reg = PlaneRegistration(builder.config.matcher)
+    reg = PlaneRegistration(matcher_config(args))
     res = reg.register(ps1, ps2, mode=PLANAR_3DOF)
     pose_pb = np.asarray(res.pose)
     print(f"PbMap: success={bool(res.success)} matches={int(res.n_matches)} "

@@ -140,6 +140,48 @@ class MatcherConfig:
     # Greedy consistency-expansion rounds.
     max_matches: int = 25
 
+    @staticmethod
+    def from_ini(path) -> "MatcherConfig":
+        """Load matcher thresholds from a reference-format INI file
+        (`config_files/configLocaliser_*.ini`, mrpt-pbmap interpretation-tree
+        parameters; the SLAM apps pass this file to `RegisterRGBD360`,
+        reference `include/RegisterRGBD360.h:100`).  Unknown keys are
+        ignored; missing keys keep the baked-in defaults."""
+        import re
+
+        vals = {}
+        for raw in open(path, encoding="utf-8", errors="replace"):
+            line = raw.split("//")[0].split("%")[0].strip()
+            m = re.match(r"([\w.]+)\s*=\s*([^\s]+)", line)
+            if m:
+                vals[m.group(1)] = m.group(2)
+
+        def num(key, default, cast=float):
+            try:
+                return cast(vals[key])
+            except (KeyError, ValueError):
+                return default
+
+        d = MatcherConfig()
+        return MatcherConfig(
+            min_planes_recognition=num(
+                "min_planes_recognition", d.min_planes_recognition, int
+            ),
+            unary_dist_d=num("dist_d", d.unary_dist_d),
+            unary_angle_deg=num("angle", d.unary_angle_deg),
+            hue_threshold=num("hue_threshold", d.hue_threshold),
+            area_threshold=num("area_threshold", d.area_threshold),
+            elongation_threshold=num("elongation_threshold", d.elongation_threshold),
+            binary_dist_threshold=num("dist_threshold", d.binary_dist_threshold),
+            binary_angle_threshold_deg=num(
+                "angle_threshold", d.binary_angle_threshold_deg
+            ),
+            height_threshold=num("height_threshold", d.height_threshold),
+            cos_normal_threshold=num("cos_normal_threshold", d.cos_normal_threshold),
+            max_match_planes=d.max_match_planes,
+            max_matches=d.max_matches,
+        )
+
 
 @dataclass(frozen=True)
 class KeyframeConfig:

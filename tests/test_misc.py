@@ -178,3 +178,26 @@ class TestReviewRegressions:
         ds = SequenceDataset(tmp_path)
         with pytest.raises(ValueError):
             list(ds)
+
+
+def test_matcher_config_from_reference_ini():
+    """The reference's configLocaliser INI files load directly; values match
+    `config_files/configLocaliser_sphericalOdometry.ini:9-36`."""
+    from rgbd360_tpu.config import MatcherConfig
+
+    cfg = MatcherConfig.from_ini(
+        "/root/reference/config_files/configLocaliser_sphericalOdometry.ini"
+    )
+    assert cfg.min_planes_recognition == 3
+    assert cfg.unary_dist_d == 0.5
+    assert cfg.unary_angle_deg == 50.0
+    assert cfg.hue_threshold == 0.35
+    assert cfg.binary_dist_threshold == 3.0
+    assert cfg.binary_angle_threshold_deg == 10.0
+    assert cfg.height_threshold == 0.33
+    assert cfg.cos_normal_threshold == 0.985
+    # the other bundled INI parses too
+    cfg2 = MatcherConfig.from_ini(
+        "/root/reference/config_files/configLocaliser_spherical.ini"
+    )
+    assert cfg2.min_planes_recognition >= 1
