@@ -235,6 +235,51 @@ class KeyframeSLAM(TrackerBase):
         self._kf_pyr_cache[k] = state.pyramid
         return k
 
+    # --------------------------------------------------- checkpoint/resume
+
+    def save_checkpoint(self, path: str) -> None:
+        """Persist the full SLAM session: the map pytree plus the host-side
+        tracking state (current KF, pose, trajectory, lost flag).  The KF
+        pyramid cache is rebuilt lazily from the map payload on resume
+        (SURVEY 5.4: checkpoint-restart for long/distributed runs)."""
+        import numpy as np
+
+        flat, _ = jax.tree_util.tree_flatten(self.map)
+
+        def to_np(x):
+            a = np.asarray(x)
+            return a.astype(np.float32) if a.dtype.name == "bfloat16" else a
+
+        np.savez_compressed(
+            path,
+            **{f"map_{i}": to_np(x) for i, x in enumerate(flat)},
+            current_kf=np.int64(self.current_kf),
+            pose=self.pose,
+            trajectory=np.stack(self.trajectory) if self.trajectory else np.zeros((0, 4, 4)),
+            lost=np.bool_(self.lost),
+            n_loop_closures=np.int64(self.n_loop_closures),
+        )
+
+    def resume_from_checkpoint(self, path: str) -> None:
+        """Restore a session saved by `save_checkpoint` into this tracker
+        (which must have been built with the same config capacities)."""
+        import numpy as np
+
+        data = np.load(path)
+        flat, treedef = jax.tree_util.tree_flatten(self.map)
+        leaves = [
+            jnp.asarray(data[f"map_{i}"], dtype=flat[i].dtype)
+            for i in range(len(flat))
+        ]
+        self.map = jax.tree_util.tree_unflatten(treedef, leaves)
+        self.current_kf = int(data["current_kf"])
+        self.pose = np.asarray(data["pose"])
+        self.trajectory = [p for p in np.asarray(data["trajectory"])]
+        self.lost = bool(data["lost"])
+        self.n_loop_closures = int(data["n_loop_closures"])
+        self.kf_state = None  # pyramids rebuilt lazily from the map payload
+        self._kf_pyr_cache = {}
+
     def _optimize(self):
         g = self.config.graph
         loop_mask = self.map.edge_is_lc if g.robust_lc else None

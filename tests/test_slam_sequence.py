@@ -101,6 +101,49 @@ def test_keyframe_slam_closes_loop(seq):
     assert ate < 0.08, f"ATE {ate:.3f} m around the loop"
 
 
+def test_keyframe_slam_checkpoint_resume(seq, tmp_path):
+    """Interrupt a run mid-sequence, resume into a FRESH tracker from the
+    checkpoint, and finish: the resumed trajectory must match the
+    uninterrupted run (checkpoint-restart, SURVEY 5.4)."""
+    from dataclasses import replace
+
+    from rgbd360_tpu.config import default_config
+    from rgbd360_tpu.slam.odometry import KeyframeSLAM
+
+    builder, frames, gt = seq
+    cfg = default_config()
+    cfg = cfg.replace(
+        map=replace(cfg.map, max_keyframes=16, max_edges=64),
+        kf=replace(cfg.kf, select_kf_icp_dist=0.35),
+    )
+
+    ref = KeyframeSLAM(builder, cfg)
+    for g, d in frames:
+        ref.process_state(ref.make_state_from_sphere(g, d))
+
+    a = KeyframeSLAM(builder, cfg)
+    cut = 3
+    for g, d in frames[:cut]:
+        a.process_state(a.make_state_from_sphere(g, d))
+    ckpt = str(tmp_path / "session.npz")
+    a.save_checkpoint(ckpt)
+
+    b = KeyframeSLAM(builder, cfg)
+    b.resume_from_checkpoint(ckpt)
+    assert b.current_kf == a.current_kf
+    for g, d in frames[cut:]:
+        b.process_state(b.make_state_from_sphere(g, d))
+
+    est_ref = np.stack(ref.trajectory)
+    est_res = np.stack(b.trajectory)
+    assert est_res.shape == est_ref.shape
+    assert int(b.map.n_kf) == int(ref.map.n_kf)
+    # bfloat16 map payload round-trips losslessly; trajectories agree to mm
+    np.testing.assert_allclose(
+        est_res[:, :3, 3], est_ref[:, :3, 3], atol=2e-3
+    )
+
+
 def test_keyframe_slam_ate(seq):
     from dataclasses import replace
 
