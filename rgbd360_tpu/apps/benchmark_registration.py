@@ -85,6 +85,23 @@ def main(argv=None):
         (pose, hess, err, n), ms = bench(name, lambda i=icp: i.align(dp2, dp1))
         results[name] = (np.asarray(pose), ms, f"rms={float(err):.3f} n={int(n)}")
 
+    # joint robot-frame alignment from the RAW per-sensor images (no sphere
+    # stitch; reference RegisterDensePhotoICP, RegisterRGBD360.h:344)
+    from rgbd360_tpu.io.bin_format import read_rig_frame as _rd
+    from rgbd360_tpu.core.frame import RigFrame
+    from rgbd360_tpu.ops.stitch import rgb_to_gray
+    from rgbd360_tpu.registration.rig_dense import RigDenseAligner, build_rig_pyramid
+
+    rig_pyrs = []
+    for path in (args.frame1, args.frame2):
+        rig = builder.undistort(RigFrame.from_raw(_rd(path)))
+        rig_pyrs.append(build_rig_pyramid(rgb_to_gray(rig.rgb), rig.depth, cfg))
+    rig_al = RigDenseAligner(builder.k, builder.rt, cfg)
+    res, ms = bench("rig_joint", lambda: rig_al.align(rig_pyrs[1], rig_pyrs[0]))
+    results["rig_joint"] = (
+        np.asarray(res.pose), ms, f"sso={float(res.sso):.2f} (raw sensors)"
+    )
+
     print(f"{'method':<14} {'|t| m':<8} {'t':<30} {'ms':<8} notes")
     ref_t = results["dense_both"][0][:3, 3]
     for name, (pose, ms, note) in results.items():
