@@ -1,17 +1,20 @@
 """Benchmark: full spherical registration pipeline throughput on one chip.
 
-Measures the per-frame cost of the flagship pipeline — raw rig capture
+Measures the per-frame cost of the flagship pipeline - raw rig capture
 (device-resident u8 RGB / u16 depth) -> undistort -> stitch -> pyramids ->
-dense spherical photo+depth alignment against a reference frame — on the
+dense spherical photo+depth alignment against a reference frame - on the
 default JAX platform (the real TPU chip under the driver).
 
 Methodology: the N input frames are preloaded to HBM (in deployment the
 SequenceDataset prefetch thread streams them over PCIe well ahead of
-compute; the benchmarking harness instead tunnels the chip over a ~30 MB/s
-link, which would measure the tunnel, not the chip).  The whole N-frame run
-is ONE jitted `lax.scan` whose per-step body is the full per-frame pipeline,
-and every frame's resulting pose is read back and consumed — nothing can be
-elided or overlapped away.
+compute).  The whole run is ONE jitted `lax.scan` whose per-step body
+processes a BATCH of 4 frames through the full pipeline - the throughput
+configuration used by sequence registration: the stitch gather indices are
+calibration-fixed, so 4 frames stitch with ONE per-row latency-bound gather
+(`ops/stitch.stitch_batch`), and the GN pyramids/levels vmap.  Batched poses
+are bit-identical to the single-stream path (tested); every frame's pose is
+read back and consumed - nothing can be elided or overlapped away.  The
+single-stream (latency-oriented) figure is ~130 fps; see BASELINE.md.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -29,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 REF_CPU_FPS = 2.04  # measured on this host, see BASELINE.md
+BATCH = 4
 
 
 def main() -> None:
@@ -36,6 +40,7 @@ def main() -> None:
     from rgbd360_tpu.core.frame import FrameBuilder, RigFrame
     from rgbd360_tpu.io.bin_format import read_rig_frame
     from rgbd360_tpu.io.calib import load_calibration
+    from rgbd360_tpu.ops import stitch as stitch_ops
     from rgbd360_tpu.registration import dense as D
 
     calib = load_calibration(
@@ -59,20 +64,21 @@ def main() -> None:
     params = builder._params
     seam_valid = builder._seam_valid if hasattr(builder, "_seam_valid") else None
     if seam_valid is None:
-        from rgbd360_tpu.ops import stitch as _st
+        seam_valid = stitch_ops.seam_mask_from_maps(builder.maps, 1)
 
-        seam_valid = _st.seam_mask_from_maps(builder.maps, 1)
+    n = 40
+    idx = (jnp.arange(n) % 2).reshape(n // BATCH, BATCH)
 
-    n = 20
-    idx = jnp.arange(n) % 2
+    def step(carry, ib):
+        frames = builder._build_batch_impl(params, rgb[ib], depth[ib])
 
-    def step(carry, i):
-        sphere = builder._build_impl(params, rgb[i], depth[i])
-        pyr = D.build_frame_pyramid(
-            sphere.sphere_gray, sphere.sphere_depth, cfg, seam_valid
-        )
-        res = aligner._align_impl(pyr, trg_pyr, jnp.eye(4), D.PHOTO_DEPTH)
-        return carry, (res.pose, res.error)
+        def one(sg, sd):
+            pyr = D.build_frame_pyramid(sg, sd, cfg, seam_valid, allow_pallas=False)
+            res = aligner._align_impl(pyr, trg_pyr, jnp.eye(4), D.PHOTO_DEPTH)
+            return res.pose, res.error
+
+        poses, errs = jax.vmap(one)(frames.sphere_gray, frames.sphere_depth)
+        return carry, (poses, errs)
 
     @jax.jit
     def run(idx):
@@ -89,7 +95,7 @@ def main() -> None:
         poses, errs = run(idx)
         poses = np.asarray(poses)  # read back and consume EVERY frame's pose
         dt = time.time() - t0
-        assert poses.shape == (n, 4, 4) and np.isfinite(poses).all()
+        assert poses.shape == (n // BATCH, BATCH, 4, 4) and np.isfinite(poses).all()
         best = max(best, n / dt)
 
     print(

@@ -149,16 +149,19 @@ def build_depth_pyramid(
     return pyr
 
 
-def gradient_xy(img: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+def gradient_xy(
+    img: jnp.ndarray, allow_pallas: bool = True
+) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Occlusion-aware harmonic-mean gradients (reference `calcGradientXY`).
 
     grad = 2 / (1/(I[+1]-I) + 1/(I-I[-1])) where I is strictly between its
     neighbors, else 0.  Border pixels are 0.  Dispatches to the fused Pallas
-    kernel on TPU backends (bit-equal).
+    kernel on TPU backends (bit-equal).  Pass allow_pallas=False under vmap
+    (the halo-DMA kernel has no batching rule).
     """
     from rgbd360_tpu.ops import pallas_kernels as K
 
-    if K.use_pallas() and img.shape[0] % 16 == 0 and img.shape[1] % 128 == 0:
+    if allow_pallas and K.use_pallas() and img.shape[0] % 16 == 0 and img.shape[1] % 128 == 0:
         return K.fused_gradients(img, 16)
 
     def _axis_grad(a, axis):

@@ -143,6 +143,44 @@ def stitch(
     return rgb_out, depth_out
 
 
+def stitch_batch(
+    maps: StitchMaps, rgb: jnp.ndarray, depth: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Stitch a BATCH of rig captures with ONE row gather.
+
+    rgb: (B, S, H, W, 3); depth: (B, S, H, W) float32 meters.
+    Returns (sphere_rgb (B, H', W', 3) float32, sphere_depth (B, H', W')).
+
+    The gather indices depend only on the calibration, so the B frames pack
+    as extra row channels (rows of 4*B floats).  TPU gathers are per-ROW
+    latency-bound — (N, 4) and (N, 8) takes cost the same — so the per-frame
+    stitch cost is ~1/B of the single-frame form.  This is the throughput
+    path for sequence registration / batch loop-closure verification.
+    """
+    b = rgb.shape[0]
+    s, v, u = maps.sensor, maps.v, maps.u
+    pack = jnp.concatenate(
+        [
+            jnp.concatenate(
+                [rgb[f].astype(jnp.float32), depth[f][..., None].astype(jnp.float32)],
+                axis=-1,
+            )
+            for f in range(b)
+        ],
+        axis=-1,
+    )  # (S, H, W, 4*B)
+    sh, sw = rgb.shape[2], rgb.shape[3]
+    lin = (s.astype(jnp.int32) * sh + v.astype(jnp.int32)) * sw + u.astype(jnp.int32)
+    vals = jnp.take(pack.reshape(-1, 4 * b), lin, axis=0)  # (H', W', 4*B)
+    rgbs, depths = [], []
+    for f in range(b):
+        vf = vals[..., 4 * f : 4 * f + 4]
+        rgbs.append(jnp.where(maps.valid[..., None], vf[..., :3], 0.0))
+        d = vf[..., 3]
+        depths.append(jnp.where(maps.valid & (d > 0), d * maps.scale, 0.0))
+    return jnp.stack(rgbs), jnp.stack(depths)
+
+
 stitch_jit = jax.jit(stitch)
 
 

@@ -79,6 +79,7 @@ def build_frame_pyramid(
     seam_valid: jnp.ndarray | None = None,
     num_sensors: int = 8,
     spherical: bool = True,
+    allow_pallas: bool = True,
 ) -> FramePyramid:
     """Build the alignment pyramid for one frame.
 
@@ -93,8 +94,8 @@ def build_frame_pyramid(
     )
     ggx, ggy, dgx, dgy = [], [], [], []
     for lvl in range(cfg.pyramid_levels):
-        gx, gy = pyr_ops.gradient_xy(grays[lvl])
-        hx, hy = pyr_ops.gradient_xy(depths[lvl])
+        gx, gy = pyr_ops.gradient_xy(grays[lvl], allow_pallas)
+        hx, hy = pyr_ops.gradient_xy(depths[lvl], allow_pallas)
         if seam_valid is not None:
             m = seam_valid[:: 2**lvl, :: 2**lvl].astype(gx.dtype)
             m = m[: gx.shape[0], : gx.shape[1]]

@@ -48,9 +48,9 @@ def build_rig_pyramid(
 
     grays/depths: (S, H, W) float arrays (gray in [0, 1], depth in meters).
     """
-    return jax.vmap(lambda g, d: build_frame_pyramid(g, d, cfg, spherical=False))(
-        grays, depths
-    )
+    return jax.vmap(
+        lambda g, d: build_frame_pyramid(g, d, cfg, spherical=False, allow_pallas=False)
+    )(grays, depths)
 
 
 class RigDenseAligner:

@@ -83,3 +83,25 @@ def test_build_deterministic(builder, sample_paths):
     np.testing.assert_array_equal(
         np.asarray(f1.sphere_depth), np.asarray(f2.sphere_depth)
     )
+
+
+def test_build_batch_bit_identical(calibration, sample_paths):
+    """Batched build (ONE stitch gather for B frames) must be bit-identical
+    to per-frame builds — the bench's throughput configuration."""
+    import jax.numpy as jnp
+
+    from rgbd360_tpu.core.frame import FrameBuilder
+    from rgbd360_tpu.io.bin_format import read_rig_frame
+
+    builder = FrameBuilder(calibration)
+    raws = [read_rig_frame(p) for p in sample_paths[:2]]
+    singles = [builder.build_from_raw(r) for r in raws]
+    batch = builder.build_batch(
+        jnp.stack([jnp.asarray(r.rgb) for r in raws]),
+        jnp.stack([jnp.asarray(r.depth_mm) for r in raws]),
+    )
+    for i, f in enumerate(singles):
+        for name in ("sphere_gray", "sphere_depth", "sphere_rgb", "cloud_xyz"):
+            a = np.nan_to_num(np.asarray(getattr(f, name)))
+            b = np.nan_to_num(np.asarray(getattr(batch, name)[i]))
+            np.testing.assert_array_equal(a, b, err_msg=name)
