@@ -49,12 +49,28 @@ def main(argv=None):
     if n < 2:
         raise SystemExit("need at least 2 frames")
 
-    # build all frames (pyramids + planes)
+    # build all frames in batches of 4: the stitch gather indices are
+    # calibration-fixed, so one row gather stitches the whole batch
+    # (ops/stitch.stitch_batch — the throughput configuration; see bench.py)
+    from rgbd360_tpu.ops import stitch as stitch_ops
+
+    seam = stitch_ops.seam_mask_from_maps(builder.maps, 1)
+    pyr_of = jax.jit(
+        lambda g, d: D.build_frame_pyramid(g, d, builder.config.dense, seam)
+    )
     pyrs, planes = [], []
-    for raw in ds:
-        sphere, pyr = builder.build_with_pyramid(RigFrame.from_raw(raw))
-        pyrs.append(pyr)
-        planes.append(builder.segment_planes(sphere))
+    batch_size = 4
+    raws = list(ds)
+    for b0 in range(0, n, batch_size):
+        chunk = raws[b0 : b0 + batch_size]
+        frames = builder.build_batch(
+            jnp.stack([jnp.asarray(r.rgb) for r in chunk]),
+            jnp.stack([jnp.asarray(r.depth_mm) for r in chunk]),
+        )
+        for k in range(len(chunk)):
+            sphere = jax.tree_util.tree_map(lambda a: a[k], frames)
+            pyrs.append(pyr_of(sphere.sphere_gray, sphere.sphere_depth))
+            planes.append(builder.segment_planes(sphere))
 
     aligner = D.DenseAligner(builder.config.dense)
     reg = PlaneRegistration(builder.config.matcher)
