@@ -96,6 +96,9 @@ def main(argv=None):
                    help="PbMap-tracking graph SLAM (reference SphereGraphSLAM)")
     p.add_argument("--timing", action="store_true",
                    help="print per-stage wall times (the reference's stage timers)")
+    p.add_argument("--plane-ba", action="store_true",
+                   help="final joint refinement of keyframe poses + global "
+                   "plane landmarks (Schur-complement planar BA)")
     add_calib_args(p)
     args = p.parse_args(argv)
 
@@ -124,6 +127,29 @@ def main(argv=None):
         f"done: {n_kf} keyframes, {int(slam.map.n_edges)} edges, "
         f"{int(slam.map.n_areas)} areas"
     )
+    if args.plane_ba and n_kf >= 2:
+        import jax
+        import jax.numpy as jnp
+
+        from rgbd360_tpu.slam.plane_ba import associate_planes, optimize_plane_ba
+
+        sets = [
+            jax.tree_util.tree_map(lambda a: a[k], slam.map.planes)
+            for k in range(n_kf)
+        ]
+        prob = associate_planes(
+            [jnp.asarray(np.asarray(slam.map.opt_poses[k])) for k in range(n_kf)],
+            sets,
+            max_planes=64,
+        )
+        poses, planes, chi2, iters = optimize_plane_ba(prob)
+        full = jnp.asarray(np.asarray(slam.map.opt_poses)).at[:n_kf].set(poses)
+        slam.map = slam.map.with_optimized(full)
+        n_lm = int(np.sum(np.linalg.norm(np.asarray(prob.planes)[:, :3], axis=1) > 0.5))
+        print(
+            f"plane BA: {n_lm} landmarks, {int(prob.obs.shape[0])} observations, "
+            f"chi2={float(chi2):.4f} in {int(iters)} LM iters"
+        )
     if args.timing and hasattr(slam, "timer"):
         print(slam.timer.report())
     if args.out:

@@ -412,3 +412,170 @@ def distributed_pose_graph_pcg(
         ),
     )
     return poses, chi2, iters
+
+
+# ------------------------------------------------------ distributed plane BA
+
+
+@partial(jax.jit, static_argnames=("mesh", "max_iters", "cg_iters"))
+def distributed_plane_ba(
+    mesh: Mesh,
+    prob,
+    max_iters: int = 10,
+    cg_iters: int = 50,
+    cg_tol: float = 1e-6,
+    lm_lambda0: float = 1e-4,
+    lm_step: float = 10.0,
+):
+    """Observation-sharded planar bundle adjustment (Schur complement over
+    plane landmarks, reduce over the mesh).
+
+    The OBSERVATION arrays shard across devices; poses and plane landmarks
+    stay replicated (they are tiny next to the observation set).  Every
+    matrix-free Schur matvec is: local observation sweep -> psum the (M, 4)
+    landmark intermediate -> local sweep -> psum the (N, 6) pose result —
+    the BA-over-collectives pattern from SURVEY 5.8/7.  Numerically matches
+    `slam.plane_ba.optimize_plane_ba`.  Requires n_obs divisible by the
+    mesh size (pad with w=0 observations).
+    """
+    from rgbd360_tpu.slam import plane_ba as B
+
+    n = prob.poses.shape[0]
+    m = prob.planes.shape[0]
+    n_dev = mesh.devices.size
+    if prob.obs.shape[0] % n_dev:
+        raise ValueError(
+            f"n_obs ({prob.obs.shape[0]}) must divide by mesh size ({n_dev}); "
+            "pad with zero-weight observations"
+        )
+
+    def local_lm_step(poses, planes, lam, obs_kf, obs_pl, obs, w):
+        lprob = B.PlaneBAProblem(
+            poses=poses, planes=planes, obs_kf=obs_kf, obs_pl=obs_pl, obs=obs, w=w
+        )
+        r, jp, jl, wv, chi2_l = B._obs_terms(poses, planes, lprob)
+        chi2 = jax.lax.psum(chi2_l, "kf")
+        wj = wv[:, None, None]
+        i, k = obs_kf, obs_pl
+        hpp = jax.lax.psum(
+            jnp.zeros((n, 6, 6)).at[i].add(wj * jnp.einsum("oab,oac->obc", jp, jp)),
+            "kf",
+        )
+        hll = jax.lax.psum(
+            jnp.zeros((m, 4, 4)).at[k].add(wj * jnp.einsum("oab,oac->obc", jl, jl)),
+            "kf",
+        )
+        b_p = jax.lax.psum(
+            jnp.zeros((n, 6)).at[i].add(wv[:, None] * jnp.einsum("oab,oa->ob", jp, r)),
+            "kf",
+        )
+        b_l = jax.lax.psum(
+            jnp.zeros((m, 4)).at[k].add(wv[:, None] * jnp.einsum("oab,oa->ob", jl, r)),
+            "kf",
+        )
+        eye6 = jnp.eye(6)
+        hpp = hpp + 1e-6 * eye6[None]
+        hpp = hpp.at[0].add(1e8 * eye6)
+        hpp = hpp + lam * hpp * eye6[None]
+        eye4 = jnp.eye(4)
+        hll = hll + 1e-6 * eye4[None]
+        hll = hll + lam * hll * eye4[None]
+        hll_inv = jnp.linalg.inv(hll)
+        t = dict(jp=jp, jl=jl, w=wv, i=i, k=k, hpp=hpp, hll_inv=hll_inv,
+                 b_p=b_p, b_l=b_l, chi2=chi2)
+
+        def matvec(x):
+            jpx = jnp.einsum("oab,ob->oa", jp, x[i])
+            hlp_x = jax.lax.psum(
+                jnp.zeros((m, 4)).at[k].add(
+                    wv[:, None] * jnp.einsum("oab,oa->ob", jl, jpx)
+                ),
+                "kf",
+            )
+            y_l = jnp.einsum("kab,kb->ka", hll_inv, hlp_x)
+            jly = jnp.einsum("oab,ob->oa", jl, y_l[k])
+            hpl_y = jax.lax.psum(
+                jnp.zeros((n, 6)).at[i].add(
+                    wv[:, None] * jnp.einsum("oab,oa->ob", jp, jly)
+                ),
+                "kf",
+            )
+            return jnp.einsum("nab,nb->na", hpp, x) - hpl_y
+
+        y_l0 = jnp.einsum("kab,kb->ka", hll_inv, b_l)
+        jly0 = jnp.einsum("oab,ob->oa", jl, y_l0[k])
+        rhs = -b_p + jax.lax.psum(
+            jnp.zeros((n, 6)).at[i].add(
+                wv[:, None] * jnp.einsum("oab,oa->ob", jp, jly0)
+            ),
+            "kf",
+        )
+        hpp_inv = jnp.linalg.inv(hpp)
+        dx_p = B._pcg(
+            matvec, lambda rr: jnp.einsum("nab,nb->na", hpp_inv, rr), rhs,
+            cg_iters, cg_tol,
+        )
+        jpx = jnp.einsum("oab,ob->oa", jp, dx_p[i])
+        hlp_x = jax.lax.psum(
+            jnp.zeros((m, 4)).at[k].add(
+                wv[:, None] * jnp.einsum("oab,oa->ob", jl, jpx)
+            ),
+            "kf",
+        )
+        dx_l = -jnp.einsum("kab,kb->ka", hll_inv, b_l + hlp_x)
+
+        new_poses = jax.vmap(lambda d, p: se3.se3_exp(d) @ p)(dx_p, poses)
+        new_planes = planes + dx_l
+        norm = jnp.maximum(jnp.linalg.norm(new_planes[:, :3], axis=1, keepdims=True), 1e-9)
+        new_planes = jnp.concatenate(
+            [new_planes[:, :3] / norm, new_planes[:, 3:] / norm], axis=1
+        )
+        lprob2 = B.PlaneBAProblem(
+            poses=new_poses, planes=new_planes, obs_kf=obs_kf, obs_pl=obs_pl,
+            obs=obs, w=w,
+        )
+        chi2_new = jax.lax.psum(
+            B._obs_terms(new_poses, new_planes, lprob2)[4], "kf"
+        )
+        return new_poses, new_planes, chi2, chi2_new
+
+    step = _shard_map(
+        local_lm_step,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P("kf"), P("kf"), P("kf"), P("kf")),
+        out_specs=(P(), P(), P(), P()),
+    )
+
+    def body(carry):
+        poses, planes, lam, chi2_prev, it, done = carry
+        new_poses, new_planes, chi2, chi2_new = step(
+            poses, planes, lam, prob.obs_kf, prob.obs_pl, prob.obs, prob.w
+        )
+        improved = chi2_new < chi2
+        rel_impr = (chi2 - chi2_new) / jnp.maximum(chi2, 1e-12)
+        return (
+            jnp.where(improved, new_poses, poses),
+            jnp.where(improved, new_planes, planes),
+            jnp.where(improved, lam / lm_step, lam * lm_step),
+            jnp.where(improved, chi2_new, chi2),
+            it + 1,
+            done | (improved & (rel_impr < 1e-8)),
+        )
+
+    def cond(carry):
+        _, _, _, _, it, done = carry
+        return (it < max_iters) & ~done
+
+    poses, planes, _, chi2, iters, _ = jax.lax.while_loop(
+        cond,
+        body,
+        (
+            prob.poses,
+            prob.planes,
+            jnp.array(lm_lambda0),
+            jnp.array(jnp.inf),
+            jnp.array(0),
+            jnp.array(False),
+        ),
+    )
+    return poses, planes, chi2, iters

@@ -133,3 +133,18 @@ def test_distributed_pcg_robust_dcs(mesh):
     pd, _, _ = distributed_pose_graph_pcg(mesh, g, max_iters=15, loop_mask=loop_mask)
     np.testing.assert_allclose(np.asarray(pd), np.asarray(ps), atol=5e-3)
     assert t._ate(pd, gt) < 0.2
+
+
+def test_distributed_plane_ba_matches_single(mesh):
+    import sys, pathlib
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent))
+    from test_plane_ba import _make_problem
+    from rgbd360_tpu.parallel.sharded import distributed_plane_ba
+    from rgbd360_tpu.slam.plane_ba import optimize_plane_ba
+
+    prob, gt, _ = _make_problem(n_kf=8, noise=0.003, perturb=0.05, seed=2)
+    ps, pl, c1, _ = optimize_plane_ba(prob, max_iters=12)
+    pd, pld, c2, _ = distributed_plane_ba(mesh, prob, max_iters=12)
+    np.testing.assert_allclose(np.asarray(ps), np.asarray(pd), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pl), np.asarray(pld), atol=1e-5)
