@@ -84,6 +84,29 @@ class ControlPlanes:
             cp.add(int(r[0]), int(r[1]), r[2:5], r[5], r[6:9], r[9], r[10])
         return cp
 
+    @staticmethod
+    def load_reference_dir(dirpath: str, num_sensors: int = 8) -> "ControlPlanes":
+        """Load the reference's recorded per-pair correspondence files
+        (`Calibration/ControlPlanes/correspondences_<a>_<b>.txt`, one row =
+        [n_a (3), d_a, n_b (3), d_b, weight, conditioning] as written by
+        `ControlPlanes::savePlaneCorrespondences`, reference
+        `include/Calibrator.h:65`)."""
+        import glob
+        import re
+
+        cp = ControlPlanes(num_sensors)
+        for f in sorted(glob.glob(str(dirpath) + "/correspondences_*_*.txt")):
+            m = re.search(r"correspondences_(\d)_(\d)\.txt$", f)
+            if not m:
+                continue
+            a, b = int(m.group(1)), int(m.group(2))
+            if a >= num_sensors or b >= num_sensors:
+                continue
+            rows = np.atleast_2d(np.loadtxt(f))
+            for r in rows:
+                cp.add(a, b, r[0:3], r[3], r[4:7], r[7], r[8])
+        return cp
+
 
 def _match_pair_planes(
     ps_a: seg_ops.PlaneSet,
