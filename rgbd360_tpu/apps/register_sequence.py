@@ -55,8 +55,9 @@ def main(argv=None):
     from rgbd360_tpu.ops import stitch as stitch_ops
 
     seam = stitch_ops.seam_mask_from_maps(builder.maps, 1)
+    seam_levels = D.seam_masks_per_level(seam, builder.config.dense.pyramid_levels)
     pyr_of = jax.jit(
-        lambda g, d: D.build_frame_pyramid(g, d, builder.config.dense, seam)
+        lambda g, d: D.build_frame_pyramid(g, d, builder.config.dense, seam_levels)
     )
     pyrs, planes = [], []
     batch_size = 4

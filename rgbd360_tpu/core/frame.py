@@ -281,17 +281,20 @@ class FrameBuilder:
 
             seam = _st.seam_mask_from_maps(self.maps, 1)
             dense_cfg = self.config.dense
+            # per-level masks are calibration constants: close over them so
+            # they fold into the program instead of being sliced per frame
+            seam_levels = _D.seam_masks_per_level(seam, dense_cfg.pyramid_levels)
 
-            def impl(params, rgb, depth_raw, seam_valid):
+            def impl(params, rgb, depth_raw):
                 sphere = self._build_impl(params, rgb, depth_raw)
                 pyr = _D.build_frame_pyramid(
-                    sphere.sphere_gray, sphere.sphere_depth, dense_cfg, seam_valid
+                    sphere.sphere_gray, sphere.sphere_depth, dense_cfg, seam_levels
                 )
                 return sphere, pyr
 
             self._seam_valid = seam
             self._build_pyr = jax.jit(impl)
-        return self._build_pyr(self._params, frame.rgb, frame.depth, self._seam_valid)
+        return self._build_pyr(self._params, frame.rgb, frame.depth)
 
     # ------------------------------------------------------------- planes
 

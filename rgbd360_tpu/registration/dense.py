@@ -72,6 +72,20 @@ class AlignResult:
     ill_posed: jnp.ndarray  # bool
 
 
+def seam_masks_per_level(seam_valid, levels: int) -> tuple:
+    """Precompute the per-pyramid-level seam masks on the host (numpy).
+
+    The masks depend only on the calibration, so computing them once turns
+    the per-frame `[::2**lvl, ::2**lvl]` strided slices — which lower to
+    bit-packed bool gathers on TPU — into jit constants."""
+    import numpy as np
+
+    base = np.asarray(seam_valid)
+    return tuple(
+        jnp.asarray(base[:: 2**lvl, :: 2**lvl]) for lvl in range(levels)
+    )
+
+
 def build_frame_pyramid(
     gray: jnp.ndarray,
     depth: jnp.ndarray,
@@ -84,10 +98,17 @@ def build_frame_pyramid(
     """Build the alignment pyramid for one frame.
 
     seam_valid: optional (H, W) bool mask of trustworthy pixels (False at
-    sensor seams); if None and `spherical`, uniform seam columns are masked
-    like the reference (`RegisterPhotoICP.h:4537-4549`).  Pinhole frames
-    (`spherical=False`) have no stitch seams and skip the masking.
+    sensor seams), or a per-level tuple of such masks; if None and
+    `spherical`, uniform seam columns are masked like the reference
+    (`RegisterPhotoICP.h:4537-4549`).  Pinhole frames (`spherical=False`)
+    have no stitch seams and skip the masking.
+
+    Pass the PER-LEVEL tuple (see `seam_masks_per_level`) in hot paths: the
+    masks are calibration-static, and slicing the full-resolution mask here
+    lowers to a bit-packed bool gather per level per frame (~0.5 ms/frame).
     """
+    if seam_valid is not None and not isinstance(seam_valid, (tuple, list)):
+        seam_valid = seam_masks_per_level(seam_valid, cfg.pyramid_levels)
     grays = pyr_ops.build_pyramid(gray, cfg.pyramid_levels)
     depths = pyr_ops.build_depth_pyramid(
         depth, cfg.pyramid_levels, cfg.min_depth, cfg.max_depth
@@ -97,7 +118,7 @@ def build_frame_pyramid(
         gx, gy = pyr_ops.gradient_xy(grays[lvl], allow_pallas)
         hx, hy = pyr_ops.gradient_xy(depths[lvl], allow_pallas)
         if seam_valid is not None:
-            m = seam_valid[:: 2**lvl, :: 2**lvl].astype(gx.dtype)
+            m = seam_valid[lvl].astype(gx.dtype)
             m = m[: gx.shape[0], : gx.shape[1]]
             gx, gy, hx, hy = gx * m, gy * m, hx * m, hy * m
         elif spherical:

@@ -76,8 +76,9 @@ class TrackerBase:
         self.aligner = D.DenseAligner(self.config.dense)
         self.plane_reg = PlaneRegistration(self.config.matcher)
         seam = stitch_ops.seam_mask_from_maps(builder.maps, 1)
+        seam_levels = D.seam_masks_per_level(seam, self.config.dense.pyramid_levels)
         self._pyr = jax.jit(
-            lambda g, d: D.build_frame_pyramid(g, d, self.config.dense, seam)
+            lambda g, d: D.build_frame_pyramid(g, d, self.config.dense, seam_levels)
         )
         # Stage taxonomy as first-class named trace regions (the reference's
         # ad-hoc per-stage timers, SURVEY 5.1); `print(tracker.timer.report())`
