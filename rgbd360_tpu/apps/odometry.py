@@ -1,8 +1,11 @@
 """Frame-to-frame spherical odometry over a capture directory
-(reference `Registration/OdometryRGBD360.cpp` and `OdometryKeyFrame360.cpp`).
+(reference `Registration/OdometryRGBD360.cpp` and `OdometryKeyFrame360.cpp`;
+`--online` is the live-capture variant, `OnlineOdometryRGBD360.cpp:80-117`,
+consuming frames as a grabber process writes them).
 
 Usage:
     python -m rgbd360_tpu.apps.odometry DATASET_DIR [--out DIR] [--keyframe]
+        [--online [--idle-timeout S]]
 """
 
 from __future__ import annotations
@@ -25,18 +28,29 @@ def main(argv=None):
         help="keyframe odometry (track against the last keyframe instead of "
         "the previous frame, reference OdometryKeyFrame360)",
     )
+    p.add_argument(
+        "--online",
+        action="store_true",
+        help="consume frames live as a grabber writes them into DATASET_DIR "
+        "(reference OnlineOdometryRGBD360); stream ends on a 'capture_done' "
+        "marker file or after --idle-timeout seconds without a new frame",
+    )
+    p.add_argument("--idle-timeout", type=float, default=10.0)
     add_calib_args(p)
     args = p.parse_args(argv)
 
     from rgbd360_tpu.core.frame import FrameBuilder
-    from rgbd360_tpu.io.dataset import SequenceDataset
+    from rgbd360_tpu.io.dataset import SequenceDataset, StreamingDataset
     from rgbd360_tpu.slam.odometry import FrameToFrameOdometry, KeyframeSLAM
 
     calib = load_calib(args)
     builder = FrameBuilder(calib)
-    ds = SequenceDataset(args.dataset)
-    if len(ds) == 0:
-        raise SystemExit(f"no sphere_images_*.bin found in {args.dataset}")
+    if args.online:
+        ds = StreamingDataset(args.dataset, idle_timeout=args.idle_timeout)
+    else:
+        ds = SequenceDataset(args.dataset)
+        if len(ds) == 0:
+            raise SystemExit(f"no sphere_images_*.bin found in {args.dataset}")
 
     tracker = (
         KeyframeSLAM(builder) if args.keyframe else FrameToFrameOdometry(builder)

@@ -1,7 +1,7 @@
 from rgbd360_tpu.io.bin_format import read_rig_frame, write_rig_frame, RawRigFrame
 from rgbd360_tpu.io.clams import load_clams_model, ClamsModel
 from rgbd360_tpu.io.calib import load_calibration, Calibration
-from rgbd360_tpu.io.dataset import SequenceDataset
+from rgbd360_tpu.io.dataset import SequenceDataset, StreamingDataset
 from rgbd360_tpu.io.rawlog import (
     Obs2DRangeScan,
     Obs3DRangeScan,
@@ -24,4 +24,5 @@ __all__ = [
     "load_calibration",
     "Calibration",
     "SequenceDataset",
+    "StreamingDataset",
 ]

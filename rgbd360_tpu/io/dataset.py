@@ -109,3 +109,89 @@ class SequenceDataset:
     @staticmethod
     def have_native_loader() -> bool:
         return _HAVE_NATIVE
+
+
+class StreamingDataset:
+    """Live capture stream over a directory being written by a producer.
+
+    The TPU-era analogue of the reference's online apps
+    (`Registration/OnlineOdometryRGBD360.cpp:80-117` opens 8 OpenNI devices
+    and grabs in a loop): here the "sensor" is whatever process is writing
+    `sphere_images_<idx>.bin` files — the reference's own grabber
+    (`Grabber/RGBD360_Grabber.cpp:91`) serializes exactly this layout — and
+    the stream yields frames as they land, in index order.
+
+    Termination mirrors the grabber's SIGINT handler
+    (`Grabber/RGBD360_Grabber.cpp:63-79`): the stream ends when a
+    `stop_file` appears (producer-side clean shutdown) or after
+    `idle_timeout` seconds with no new frame (producer gone).
+
+    Partially-written files are handled by retrying the decode until the
+    file stops growing between polls.
+    """
+
+    _PAT = SequenceDataset._PAT
+
+    def __init__(
+        self,
+        root: str | Path,
+        poll: float = 0.05,
+        idle_timeout: float = 10.0,
+        stop_file: str = "capture_done",
+    ):
+        self.root = Path(root)
+        self.poll = poll
+        self.idle_timeout = idle_timeout
+        self.stop_file = stop_file
+        self.indices: list[int] = []
+
+    def _scan(self, after: int) -> list[tuple[int, Path]]:
+        out = []
+        for p in self.root.glob("sphere_images_*.bin"):
+            m = self._PAT.search(p.name)
+            if m and int(m.group(1)) > after:
+                out.append((int(m.group(1)), p))
+        out.sort()
+        return out
+
+    def _decode_settled(self, path: Path) -> RawRigFrame:
+        import time
+
+        last_size = -1
+        deadline = time.monotonic() + self.idle_timeout
+        while True:
+            try:
+                size = path.stat().st_size
+            except FileNotFoundError:
+                size = -1
+            if size > 0 and size == last_size:
+                try:
+                    return _decode(path)
+                except Exception:
+                    # mid-write torn read: fall through and re-poll
+                    pass
+            last_size = size
+            if time.monotonic() > deadline:
+                raise TimeoutError(f"frame never settled: {path}")
+            time.sleep(self.poll)
+
+    def __iter__(self) -> Iterator[RawRigFrame]:
+        import time
+
+        last_idx = -1
+        last_event = time.monotonic()
+        while True:
+            fresh = self._scan(last_idx)
+            if fresh:
+                for idx, path in fresh:
+                    frame = self._decode_settled(path)
+                    self.indices.append(idx)
+                    last_idx = idx
+                    yield frame
+                last_event = time.monotonic()
+                continue
+            if (self.root / self.stop_file).exists():
+                return
+            if time.monotonic() - last_event > self.idle_timeout:
+                return
+            time.sleep(self.poll)

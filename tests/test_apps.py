@@ -71,6 +71,58 @@ def test_odometry_app(tmp_path):
     assert (tmp_path / "trajectory.txt").exists()
 
 
+def test_online_odometry_live_stream(tmp_path):
+    """OnlineOdometryRGBD360 analogue: a producer thread writes rig captures
+    (one of them in two chunks, to exercise the torn-write settle logic)
+    while the tracker consumes them live; all frames must be tracked and the
+    stream must end on the producer's done marker."""
+    import threading
+    import time
+
+    from rgbd360_tpu.apps import grabber, odometry
+    from rgbd360_tpu.io.bin_format import write_rig_frame
+
+    d = tmp_path / "live"
+    d.mkdir()
+    from rgbd360_tpu.io.calib import load_calibration
+
+    calib = load_calibration(
+        "/root/reference/Calibration/Extrinsics",
+        "/root/reference/Calibration/Intrinsics",
+    )
+    rt = np.asarray(calib.rt)
+    frames = [grabber.synth_capture(i, rt=rt) for i in range(3)]
+
+    def producer():
+        for i, raw in enumerate(frames):
+            if i == 1:  # torn write: half the bytes, a pause, then the rest
+                staging = tmp_path / "staging.bin"
+                write_rig_frame(staging, raw)
+                data = staging.read_bytes()
+                path = d / f"sphere_images_{i}.bin"
+                with open(path, "wb") as f:
+                    f.write(data[: len(data) // 2])
+                    f.flush()
+                    time.sleep(0.4)
+                    f.write(data[len(data) // 2 :])
+            else:
+                write_rig_frame(d / f"sphere_images_{i}.bin", raw)
+            time.sleep(0.15)
+        (d / "capture_done").touch()
+
+    t = threading.Thread(target=producer)
+    t.start()
+    try:
+        traj = odometry.main(
+            [str(d), "--online", "--idle-timeout", "30", "--no-intrinsics"]
+        )
+    finally:
+        t.join()
+    assert traj.shape[0] == 3
+    steps = np.diff(traj[:, 0, 3])
+    np.testing.assert_allclose(steps, 0.1, atol=0.02)
+
+
 def test_kf_slam_app(tmp_path):
     from rgbd360_tpu.apps import kf_slam
 
