@@ -50,9 +50,12 @@ def main() -> None:
     builder = FrameBuilder(calib)
     raw1 = read_rig_frame("/root/reference/samples/sphere_images_1.bin")
     raw2 = read_rig_frame("/root/reference/samples/sphere_images_10.bin")
-    # salient finest level: reproduces the dense pose to sub-mm on the rig
-    # samples (see BASELINE.md) at ~1.6x finest-level speed
-    cfg = DenseRegConfig(salient_pixels=49152)
+    # salient finest level: 16384 stratified-salient pixels reproduce the
+    # dense pose to ~3.5 mm on the rig samples (and ground-truthed synthetic
+    # motion to the same error as the dense sweep); the GN sweeps are
+    # per-row gather-latency-bound, so rows ~= time.  49152 was the previous
+    # setting (282 fps); 16384 measures 358-362 fps at the same pose.
+    cfg = DenseRegConfig(salient_pixels=16384)
     aligner = D.DenseAligner(cfg)
 
     # reference (target) frame: built once, like the keyframe in tracking
@@ -62,9 +65,8 @@ def main() -> None:
     rgb = jnp.stack([jnp.asarray(r.rgb) for r in (raw1, raw2)])
     depth = jnp.stack([jnp.asarray(r.depth_mm) for r in (raw1, raw2)])
     params = builder._params
-    seam_valid = builder._seam_valid if hasattr(builder, "_seam_valid") else None
-    if seam_valid is None:
-        seam_valid = stitch_ops.seam_mask_from_maps(builder.maps, 1)
+    seam = stitch_ops.seam_mask_from_maps(builder.maps, 1)
+    seam_valid = D.seam_masks_per_level(seam, cfg.pyramid_levels)
 
     n = 40
     idx = (jnp.arange(n) % 2).reshape(n // BATCH, BATCH)
