@@ -68,18 +68,21 @@ def main() -> None:
     seam = stitch_ops.seam_mask_from_maps(builder.maps, 1)
     seam_valid = D.seam_masks_per_level(seam, cfg.pyramid_levels)
 
-    n = 40
+    # 480 frames: long enough that the harness tunnel's fixed ~30 ms
+    # dispatch+readback round trip (a link artifact, not chip time) is <2%
+    # of the run; fps converges to the on-chip rate by n~240.
+    n = 480
     idx = (jnp.arange(n) % 2).reshape(n // BATCH, BATCH)
 
     def step(carry, ib):
-        frames = builder._build_batch_impl(params, rgb[ib], depth[ib])
+        sg_b, sd_b = builder._build_gray_depth_batch_impl(params, rgb[ib], depth[ib])
 
         def one(sg, sd):
             pyr = D.build_frame_pyramid(sg, sd, cfg, seam_valid, allow_pallas=False)
             res = aligner._align_impl(pyr, trg_pyr, jnp.eye(4), D.PHOTO_DEPTH)
             return res.pose, res.error
 
-        poses, errs = jax.vmap(one)(frames.sphere_gray, frames.sphere_depth)
+        poses, errs = jax.vmap(one)(sg_b, sd_b)
         return carry, (poses, errs)
 
     @jax.jit

@@ -271,6 +271,32 @@ class FrameBuilder:
     def build_from_raw(self, raw) -> SphereFrame:
         return self.build(RigFrame.from_raw(raw))
 
+    def _build_gray_depth_batch_impl(self, params, rgbs, depths_raw):
+        """Batched gray+depth-only frame build for the tracking hot path.
+
+        The registration pipelines consume only sphere intensity and depth;
+        converting to gray per sensor BEFORE the stitch halves the gathered
+        row width and skips the float32 RGB tensor (see
+        `stitch.stitch_gray_depth_batch`)."""
+        b = rgbs.shape[0]
+        grays, depths = [], []
+        for f in range(b):
+            _, d = self._undistort_stage(params, rgbs[f], depths_raw[f])
+            grays.append(stitch_ops.rgb_to_gray(rgbs[f]))
+            depths.append(d)
+        return stitch_ops.stitch_gray_depth_batch(
+            self._maps_from(params), jnp.stack(grays), jnp.stack(depths)
+        )
+
+    def build_gray_depth_batch(
+        self, rgbs: jnp.ndarray, depths_raw: jnp.ndarray
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """(sphere_gray (B, H', W'), sphere_depth (B, H', W')) for B raw
+        captures; rgbs (B, S, H, W, 3) u8, depths_raw (B, S, H, W) u16 mm."""
+        if not hasattr(self, "_build_gd_batch"):
+            self._build_gd_batch = jax.jit(self._build_gray_depth_batch_impl)
+        return self._build_gd_batch(self._params, rgbs, depths_raw)
+
     def build_with_pyramid(self, frame: RigFrame):
         """Fused frame build + alignment pyramid in ONE jitted program —
         one device dispatch per frame instead of two (dispatch latency on a

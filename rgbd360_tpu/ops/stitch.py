@@ -181,6 +181,39 @@ def stitch_batch(
     return jnp.stack(rgbs), jnp.stack(depths)
 
 
+def stitch_gray_depth_batch(
+    maps: StitchMaps, gray: jnp.ndarray, depth: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Stitch a batch of per-sensor GRAY + depth images with ONE row gather.
+
+    gray: (B, S, H, W) float32 in [0, 1]; depth: (B, S, H, W) float32 meters.
+    Returns (sphere_gray (B, H', W'), sphere_depth (B, H', W')).
+
+    The registration/odometry pipelines never consume sphere RGB — only the
+    intensity and depth feed the pyramids — so converting to gray BEFORE the
+    stitch halves the gathered row width vs `stitch_batch` and skips the
+    (S, H, W, 3) float32 RGB tensor entirely (~0.15 ms/frame at batch 4).
+    """
+    b = gray.shape[0]
+    s, v, u = maps.sensor, maps.v, maps.u
+    pack = jnp.concatenate(
+        [
+            jnp.concatenate([gray[f][..., None], depth[f][..., None]], axis=-1)
+            for f in range(b)
+        ],
+        axis=-1,
+    )  # (S, H, W, 2*B)
+    sh, sw = gray.shape[2], gray.shape[3]
+    lin = (s.astype(jnp.int32) * sh + v.astype(jnp.int32)) * sw + u.astype(jnp.int32)
+    vals = jnp.take(pack.reshape(-1, 2 * b), lin, axis=0)  # (H', W', 2*B)
+    grays, depths = [], []
+    for f in range(b):
+        grays.append(jnp.where(maps.valid, vals[..., 2 * f], 0.0))
+        d = vals[..., 2 * f + 1]
+        depths.append(jnp.where(maps.valid & (d > 0), d * maps.scale, 0.0))
+    return jnp.stack(grays), jnp.stack(depths)
+
+
 stitch_jit = jax.jit(stitch)
 
 

@@ -29,12 +29,18 @@ def precompute_pixel_tables(
     load.  The per-frame op then needs no gathers at all: with nbins tiny
     (5 for the stock models) the depth-bin lookup becomes one-hot
     arithmetic, which the VPU chews through at memory speed while a 3M-point
-    gather costs tens of ms on TPU."""
+    gather costs tens of ms on TPU.
+
+    Layout is bin-major (..., nbins, H, W): each bin plane is then a
+    contiguous well-tiled image.  A pixel-major (..., H, W, nbins) layout
+    puts nbins=5 in the TPU lane dimension, which pads 5 -> 128 lanes and
+    inflates every table read ~25x (measured 0.7 ms/frame in the build
+    stage, vs ~0.1 ms in this layout)."""
     yb = (jnp.arange(h) // bin_height).astype(jnp.int32)
     xb = (jnp.arange(w) // bin_width).astype(jnp.int32)
     m_img = multipliers[..., yb[:, None], xb[None, :], :]
     c_img = counts[..., yb[:, None], xb[None, :], :]
-    return m_img, c_img
+    return jnp.moveaxis(m_img, -1, -3), jnp.moveaxis(c_img, -1, -3)
 
 
 def undistort_depth_pixeltab(
@@ -45,10 +51,10 @@ def undistort_depth_pixeltab(
 ) -> jnp.ndarray:
     """Gather-free CLAMS undistortion using precomputed per-pixel tables.
 
-    depth: (..., H, W); m_img/c_img: (..., H, W, nbins).
-    Semantics identical to `undistort_depth`.
+    depth: (..., H, W); m_img/c_img: (..., nbins, H, W) bin-major (see
+    `precompute_pixel_tables`).  Semantics identical to `undistort_depth`.
     """
-    nbins = m_img.shape[-1]
+    nbins = m_img.shape[-3]
     z = depth
     idx = jnp.minimum(nbins - 1, jnp.floor(z / bin_depth).astype(jnp.int32))
     start = bin_depth * idx.astype(z.dtype)
@@ -59,7 +65,7 @@ def undistort_depth_pixeltab(
         ic = jnp.clip(i, 0, nbins - 1)
         acc = jnp.zeros_like(z)
         for k in range(nbins):  # tiny static unroll -> pure VPU selects
-            acc = acc + jnp.where(ic == k, tab[..., k], 0.0)
+            acc = acc + jnp.where(ic == k, tab[..., k, :, :], 0.0)
         return acc
 
     m_near = sel(m_img, idx)

@@ -105,3 +105,28 @@ def test_build_batch_bit_identical(calibration, sample_paths):
             a = np.nan_to_num(np.asarray(getattr(f, name)))
             b = np.nan_to_num(np.asarray(getattr(batch, name)[i]))
             np.testing.assert_array_equal(a, b, err_msg=name)
+
+
+def test_build_gray_depth_batch_bit_identical(calibration, sample_paths):
+    """The gray-first tracking-path build (gray conversion BEFORE the stitch
+    gather, 2-wide rows) must be bit-identical to the full build: gather is
+    pure selection and gray is pointwise, so they commute exactly."""
+    import jax.numpy as jnp
+
+    from rgbd360_tpu.core.frame import FrameBuilder
+    from rgbd360_tpu.io.bin_format import read_rig_frame
+
+    builder = FrameBuilder(calibration)
+    raws = [read_rig_frame(p) for p in sample_paths[:2]]
+    singles = [builder.build_from_raw(r) for r in raws]
+    grays, depths = builder.build_gray_depth_batch(
+        jnp.stack([jnp.asarray(r.rgb) for r in raws]),
+        jnp.stack([jnp.asarray(r.depth_mm) for r in raws]),
+    )
+    for i, f in enumerate(singles):
+        np.testing.assert_array_equal(
+            np.asarray(f.sphere_gray), np.asarray(grays[i]), err_msg="gray"
+        )
+        np.testing.assert_array_equal(
+            np.asarray(f.sphere_depth), np.asarray(depths[i]), err_msg="depth"
+        )
