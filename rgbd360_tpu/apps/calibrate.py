@@ -1,5 +1,6 @@
 """Extrinsic rig calibration suite (reference `Calibration/` apps:
-GetControlPlanes, Calibrator, PairCalibrator, EvalCalibration).
+GetControlPlanes, Calibrator, PairCalibrator, EvalCalibration,
+OnlineCalibration, OnlinePairCalibrator).
 
 Subcommands:
   collect   — extract control planes from a capture directory
@@ -7,12 +8,21 @@ Subcommands:
   pair      — pairwise calibration for one sensor pair
   eval      — evaluate a calibration (residuals, conditioning) and compare
               against another (e.g. the shipped Rt files)
+  online    — incremental calibration while frames stream in (reference
+              `OnlineCalibration.cpp:403-677`): accumulate correspondences
+              per sensor couple, track per-couple conditioning, solve as
+              soon as every couple is well conditioned (threshold 8000,
+              `Miscellaneous.h:76`), keep refining as data arrives.
+              `--sensors A B` restricts to one couple (OnlinePairCalibrator);
+              `--live` consumes a directory being written by a grabber.
 
 Usage:
     python -m rgbd360_tpu.apps.calibrate collect DATASET_DIR --out cp.txt
     python -m rgbd360_tpu.apps.calibrate solve cp.txt --out DIR [--from-spec]
     python -m rgbd360_tpu.apps.calibrate pair cp.txt --sensors 0 1
     python -m rgbd360_tpu.apps.calibrate eval cp.txt [--rt DIR]
+    python -m rgbd360_tpu.apps.calibrate online DATASET_DIR [--live]
+        [--sensors A B] [--out DIR] [--solve-every N]
 """
 
 from __future__ import annotations
@@ -104,6 +114,100 @@ def cmd_eval(args):
               f"{rot_res:.6f}      {t_res:.4f}")
 
 
+def cmd_online(args):
+    """Incremental calibration loop (reference `OnlineCalibration::run` —
+    grab, segment, match couples, update conditioning, calibrate when every
+    couple is observable; `Calibration/OnlineCalibration.cpp:403-677`)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rgbd360_tpu.calibration import RigCalibrator, PairCalibrator
+    from rgbd360_tpu.calibration.control_planes import (
+        ControlPlanes,
+        add_frame_correspondences,
+        consensus_trim,
+        make_plane_segmenter,
+        pair_list_for,
+    )
+    from rgbd360_tpu.calibration.solver import conditioning
+    from rgbd360_tpu.core.frame import FrameBuilder
+    from rgbd360_tpu.io.dataset import SequenceDataset, StreamingDataset
+
+    calib = load_calib(args)
+    builder = FrameBuilder(calib)
+    rt_guess = np.asarray(calib.rt, np.float64)
+    num_sensors = rt_guess.shape[0]
+    pair_only = tuple(args.sensors) if args.sensors else None
+    pairs = (
+        [pair_only] if pair_only else pair_list_for(num_sensors, adjacent_only=True)
+    )
+    threshold = args.threshold_conditioning
+    cp = ControlPlanes(num_sensors)
+    seg = make_plane_segmenter(builder.config.seg)
+    ds = (
+        StreamingDataset(args.dataset, idle_timeout=args.idle_timeout)
+        if args.live
+        else SequenceDataset(args.dataset)
+    )
+
+    rt = rt_guess.copy()
+    solved = False
+    for i, raw in enumerate(ds):
+        f = builder.build_from_raw(raw)
+        per_sensor = seg(f.local_xyz, f.cloud_rgb, f.cloud_valid)
+        sets = [
+            jax.tree_util.tree_map(lambda a: a[s], per_sensor)
+            for s in range(num_sensors)
+        ]
+        added = add_frame_correspondences(cp, sets, rt_guess, pairs)
+        conds = {
+            (a, b): (conditioning(cp.pairs[(a, b)]["n_a"])
+                     if (a, b) in cp.pairs and cp.count(a, b) >= 3 else np.inf)
+            for (a, b) in pairs
+        }
+        worst = max(conds.values())
+        print(
+            f"frame {i}: +{added} matches, total "
+            f"{sum(cp.count(a, b) for a, b in cp.pairs)}, "
+            f"worst conditioning {worst:.1f}"
+            + ("" if worst < threshold else f" (> {threshold:.0f}, keep moving)")
+        )
+        ready = worst < threshold
+        if ready and (not solved or (i + 1) % args.solve_every == 0):
+            consensus_trim(cp)
+            if pair_only:
+                a, b = pair_only
+                key = (a, b) if (a, b) in cp.pairs else (b, a)
+                pdata = cp.pairs[key]
+                rel0 = np.linalg.inv(rt_guess[key[0]]) @ rt_guess[key[1]]
+                rel, diag = PairCalibrator(threshold).calibrate(
+                    pdata["n_a"], pdata["d_a"], pdata["n_b"], pdata["d_b"],
+                    pdata["w"], r0=rel0[:3, :3],
+                )
+                print(f"  pair {key} solved: conditioning="
+                      f"{diag['conditioning']:.1f} rot_error={diag['rot_error']:.6f}")
+                rt = rt_guess.copy()
+                rt[key[1]] = rt[key[0]] @ np.asarray(rel)
+            else:
+                rt, diag = RigCalibrator(
+                    num_sensors, threshold
+                ).calibrate(cp, rt_guess)
+                print(f"  rig solved: conditioning={diag['conditioning']:.1f} "
+                      f"rot_error={diag['rot_error']:.5f} "
+                      f"n={diag['n_correspondences']}")
+            solved = True
+    if not solved:
+        print("never reached conditioning threshold — gather more varied views")
+    elif args.out:
+        outdir = Path(args.out)
+        outdir.mkdir(parents=True, exist_ok=True)
+        for s in range(rt.shape[0]):
+            np.savetxt(outdir / f"Rt_0{s + 1}.txt", rt[s], fmt="%9.6f")
+        cp.save(str(outdir / "control_planes.txt"))
+        print(f"wrote Rt_0*.txt + control_planes.txt to {outdir}")
+    return rt if solved else None
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -136,8 +240,22 @@ def main(argv=None):
     add_calib_args(pe)
     pe.set_defaults(fn=cmd_eval)
 
+    po = sub.add_parser("online")
+    po.add_argument("dataset")
+    po.add_argument("--live", action="store_true",
+                    help="stream a directory as a grabber writes it")
+    po.add_argument("--idle-timeout", type=float, default=10.0)
+    po.add_argument("--sensors", type=int, nargs=2, default=None,
+                    help="calibrate only this couple (OnlinePairCalibrator)")
+    po.add_argument("--solve-every", type=int, default=5,
+                    help="re-solve every N frames once conditioned")
+    po.add_argument("--threshold-conditioning", type=float, default=8000.0)
+    po.add_argument("--out", default=None)
+    add_calib_args(po)
+    po.set_defaults(fn=cmd_online)
+
     args = p.parse_args(argv)
-    args.fn(args)
+    return args.fn(args)
 
 
 if __name__ == "__main__":

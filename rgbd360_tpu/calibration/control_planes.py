@@ -164,6 +164,63 @@ def _consensus_filter(n_a, d_a, n_b, d_b, w, min_inliers=3, angle_tol=0.04):
     return keep
 
 
+def make_plane_segmenter(seg_cfg: SegmentationConfig = SegmentationConfig()):
+    """Jitted per-sensor plane segmenter for calibration (vmapped over the
+    sensor axis like the reference's OpenMP fan-out)."""
+    return jax.jit(
+        lambda x, c, v: jax.vmap(
+            lambda xx, cc, vv: seg_ops.segment_planes_sensor(xx, cc, vv, seg_cfg)
+        )(x, c, v)
+    )
+
+
+def pair_list_for(num_sensors: int, adjacent_only: bool = True):
+    return (
+        [(s, (s + 1) % num_sensors) for s in range(num_sensors)]
+        if adjacent_only
+        else [(a, b) for a in range(num_sensors) for b in range(a + 1, num_sensors)]
+    )
+
+
+def add_frame_correspondences(
+    cp: ControlPlanes, sets, rt_guess: np.ndarray, pair_list
+) -> int:
+    """Match planes across sensor couples for ONE frame and accumulate the
+    correspondences (the per-grab body of the reference's online loop,
+    `Calibration/OnlineCalibration.cpp:403-555`).  Returns matches added."""
+    added = 0
+    for a, b in pair_list:
+        rel = np.linalg.inv(rt_guess[a]) @ rt_guess[b]
+        matches = _match_pair_planes(sets[a], sets[b], rel)
+        if not matches:
+            continue
+        ia = [m[0] for m in matches]
+        ib = [m[1] for m in matches]
+        w = np.minimum(
+            np.asarray(sets[a].n_inliers)[ia], np.asarray(sets[b].n_inliers)[ib]
+        )
+        cp.add(
+            a,
+            b,
+            np.asarray(sets[a].normal)[ia],
+            np.asarray(sets[a].d)[ia],
+            np.asarray(sets[b].normal)[ib],
+            np.asarray(sets[b].d)[ib],
+            w,
+        )
+        added += len(ia)
+    return added
+
+
+def consensus_trim(cp: ControlPlanes) -> None:
+    """Apply the RANSAC-like consensus filter to every pair in place."""
+    for key, p in list(cp.pairs.items()):
+        if len(p["w"]) >= 3:
+            keep = _consensus_filter(p["n_a"], p["d_a"], p["n_b"], p["d_b"], p["w"])
+            for f in ("n_a", "d_a", "n_b", "d_b", "w"):
+                p[f] = p[f][keep]
+
+
 def collect_control_planes(
     rig_frames,
     rt_guess: np.ndarray,
@@ -178,45 +235,14 @@ def collect_control_planes(
     """
     num_sensors = rt_guess.shape[0]
     cp = ControlPlanes(num_sensors)
-    seg = jax.jit(
-        lambda x, c, v: jax.vmap(
-            lambda xx, cc, vv: seg_ops.segment_planes_sensor(xx, cc, vv, seg_cfg)
-        )(x, c, v)
-    )
+    seg = make_plane_segmenter(seg_cfg)
+    pairs = pair_list_for(num_sensors, adjacent_only)
     for local_xyz, rgb, valid in rig_frames:
         per_sensor = seg(jnp.asarray(local_xyz), jnp.asarray(rgb), jnp.asarray(valid))
         sets = [
             jax.tree_util.tree_map(lambda a: a[s], per_sensor)
             for s in range(num_sensors)
         ]
-        pair_list = (
-            [(s, (s + 1) % num_sensors) for s in range(num_sensors)]
-            if adjacent_only
-            else [(a, b) for a in range(num_sensors) for b in range(a + 1, num_sensors)]
-        )
-        for a, b in pair_list:
-            rel = np.linalg.inv(rt_guess[a]) @ rt_guess[b]
-            matches = _match_pair_planes(sets[a], sets[b], rel)
-            if not matches:
-                continue
-            ia = [m[0] for m in matches]
-            ib = [m[1] for m in matches]
-            w = np.minimum(
-                np.asarray(sets[a].n_inliers)[ia], np.asarray(sets[b].n_inliers)[ib]
-            )
-            cp.add(
-                a,
-                b,
-                np.asarray(sets[a].normal)[ia],
-                np.asarray(sets[a].d)[ia],
-                np.asarray(sets[b].normal)[ib],
-                np.asarray(sets[b].d)[ib],
-                w,
-            )
-    # consensus filtering per pair
-    for key, p in list(cp.pairs.items()):
-        if len(p["w"]) >= 3:
-            keep = _consensus_filter(p["n_a"], p["d_a"], p["n_b"], p["d_b"], p["w"])
-            for f in ("n_a", "d_a", "n_b", "d_b", "w"):
-                p[f] = p[f][keep]
+        add_frame_correspondences(cp, sets, rt_guess, pairs)
+    consensus_trim(cp)
     return cp

@@ -44,26 +44,36 @@ def calibrate_pair_rotation(n_a, n_b, w=None) -> np.ndarray:
     return u @ s @ vt
 
 
-def refine_pair_rotation(r0, n_a, n_b, w=None, iters: int = 10) -> np.ndarray:
+def refine_pair_rotation(
+    r0, n_a, n_b, w=None, iters: int = 10, prior_weight: float = 0.0
+) -> np.ndarray:
     """Manifold Gauss-Newton refinement of a pair rotation (reference
-    `CalibrateRotationManifold:498`)."""
+    `CalibrateRotationManifold:498`).
+
+    prior_weight > 0 adds a quadratic prior anchoring the rotation to the
+    seed r0 (scaled by the total correspondence weight): under thin or
+    degenerate normal sets the unobservable component then stays at the
+    seed instead of wandering with noise — the online-calibration use."""
     n_a = jnp.asarray(n_a)
     n_b = jnp.asarray(n_b)
     w = jnp.ones(len(n_a)) if w is None else jnp.asarray(w)
     sw = jnp.sqrt(w)[:, None]
+    lam = prior_weight * float(jnp.sum(w))
 
     def residuals(rotvec, r_base):
         r = se3.so3_exp(rotvec) @ r_base
         return ((n_a - n_b @ r.T) * sw).reshape(-1)
 
     r = jnp.asarray(r0)
+    acc = jnp.zeros(3)  # total rotation from the seed (for the prior)
     for _ in range(iters):
         j = jax.jacfwd(residuals)(jnp.zeros(3), r)
         res = residuals(jnp.zeros(3), r)
-        h = j.T @ j
-        g = j.T @ res
+        h = j.T @ j + lam * jnp.eye(3)
+        g = j.T @ res + lam * acc
         delta = -jnp.linalg.solve(h + 1e-9 * jnp.eye(3), g)
         r = se3.so3_exp(delta) @ r
+        acc = acc + delta
         if float(jnp.linalg.norm(delta)) < 1e-10:
             break
     return np.asarray(r)
@@ -121,11 +131,22 @@ class PairCalibrator:
     def __init__(self, threshold_conditioning: float = 8000.0):
         self.threshold_conditioning = threshold_conditioning
 
-    def calibrate(self, n_a, d_a, n_b, d_b, w=None):
-        """Returns (rt (4, 4) with x_a = rt @ x_b, diagnostics dict)."""
+    def calibrate(self, n_a, d_a, n_b, d_b, w=None, r0=None):
+        """Returns (rt (4, 4) with x_a = rt @ x_b, diagnostics dict).
+
+        r0: optional rotation seed.  When given, the closed-form Procrustes
+        solve is skipped and the manifold GN refines FROM the seed — under
+        thin or degenerate data (e.g. only floor/ceiling normals early in an
+        online run) the unobservable rotation component then stays at the
+        current estimate instead of being picked arbitrarily from the null
+        space.  This is how the reference's online calibrators behave: they
+        refine the running estimate as correspondences accumulate
+        (`Calibration/OnlineCalibration.cpp:112-150`)."""
         cond = conditioning(n_a)
-        r = calibrate_pair_rotation(n_a, n_b, w)
-        r = refine_pair_rotation(r, n_a, n_b, w)
+        r = calibrate_pair_rotation(n_a, n_b, w) if r0 is None else np.asarray(r0)
+        r = refine_pair_rotation(
+            r, n_a, n_b, w, prior_weight=0.0 if r0 is None else 0.05
+        )
         t = calibrate_pair_translation(n_a, d_a, d_b, r, w)
         rt = np.eye(4)
         rt[:3, :3] = r

@@ -160,6 +160,27 @@ def test_calibrate_pipeline(tmp_path):
     assert ang < 0.1, ang
 
 
+def test_calibrate_online_pair(tmp_path):
+    """OnlinePairCalibrator analogue: stream the sample frames, accumulate
+    couple correspondences until conditioned, solve the pair extrinsic, and
+    land near the shipped calibration."""
+    from rgbd360_tpu.apps import calibrate
+
+    rt = calibrate.main(
+        ["online", SAMPLES, "--sensors", "0", "1",
+         "--threshold-conditioning", "100000", "--out", str(tmp_path / "rt")]
+    )
+    assert rt is not None
+    ref0 = np.loadtxt("/root/reference/Calibration/Extrinsics/Rt_01.txt")
+    ref1 = np.loadtxt("/root/reference/Calibration/Extrinsics/Rt_02.txt")
+    rel_ref = np.linalg.inv(ref0) @ ref1
+    rel_est = np.linalg.inv(rt[0]) @ rt[1]
+    d = np.linalg.inv(rel_ref) @ rel_est
+    ang = np.arccos(np.clip((np.trace(d[:3, :3]) - 1) / 2, -1, 1))
+    assert ang < 0.15, ang
+    assert (tmp_path / "rt" / "Rt_02.txt").exists()
+
+
 def test_labelize_pipeline(tmp_path):
     from rgbd360_tpu.apps import labelize
 
