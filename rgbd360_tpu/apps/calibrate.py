@@ -208,6 +208,83 @@ def cmd_online(args):
     return rt if solved else None
 
 
+def cmd_laser(args):
+    """Laser(2D scanner)/ToF <-> rig extrinsic calibration from a rawlog of
+    scans + rig-observed planes (reference `Calibration/LaserCalibrator.cpp`
+    / `ToFCalibrator.cpp`): associate scan points to the rig's planes under
+    the current guess, solve point-on-plane SE(3) GN, re-associate, repeat."""
+    import json
+
+    from rgbd360_tpu.calibration.laser import LaserCalibrator
+    from rgbd360_tpu.io.rawlog import Obs2DRangeScan, read_rawlog
+
+    # scan points in the laser frame (2D scans: z = 0)
+    pts = []
+    for obs in read_rawlog(args.rawlog):
+        if not isinstance(obs, Obs2DRangeScan):
+            continue
+        n = len(obs.ranges)
+        if n == 0:
+            continue
+        ang = -obs.aperture / 2 + np.arange(n) * (obs.aperture / max(n - 1, 1))
+        if not obs.right_to_left:
+            ang = ang[::-1]
+        ok = (np.asarray(obs.validity) > 0) & (obs.ranges > 0.1) & (
+            obs.ranges < obs.max_range
+        )
+        r = np.asarray(obs.ranges)[ok]
+        a = ang[ok]
+        pts.append(np.stack([r * np.cos(a), r * np.sin(a), np.zeros(len(r))], -1))
+    if not pts:
+        raise SystemExit("no 2D range scans in rawlog")
+    scan = np.concatenate(pts).astype(np.float64)
+
+    # rig planes: from a JSON file or segmented from a capture frame
+    if args.planes:
+        data = json.load(open(args.planes))
+        normals = np.asarray([p["n"] for p in data], np.float64)
+        ds = np.asarray([p["d"] for p in data], np.float64)
+    else:
+        from rgbd360_tpu.core.frame import FrameBuilder
+        from rgbd360_tpu.io.dataset import SequenceDataset
+
+        calib = load_calib(args)
+        builder = FrameBuilder(calib)
+        dset = SequenceDataset(args.frames)
+        f = builder.build_from_raw(dset[0])
+        ps = builder.segment_planes(f)
+        valid = np.asarray(ps.valid)
+        normals = np.asarray(ps.normal)[valid].astype(np.float64)
+        ds = np.asarray(ps.d)[valid].astype(np.float64)
+    print(f"{len(scan)} scan points, {len(normals)} rig planes")
+
+    rt = np.asarray(np.loadtxt(args.guess) if args.guess else np.eye(4), np.float64)
+    for it in range(args.iters):
+        # associate each point to its nearest plane under the current guess
+        q = scan @ rt[:3, :3].T + rt[:3, 3]
+        dist = np.abs(q @ normals.T + ds[None, :])
+        idx = np.argmin(dist, axis=1)
+        best = dist[np.arange(len(scan)), idx]
+        keep = best < args.assoc_tol
+        if keep.sum() < 10:
+            raise SystemExit(
+                f"only {keep.sum()} points associate within {args.assoc_tol} m "
+                "— provide a better --guess"
+            )
+        rt_new, diag = LaserCalibrator().calibrate(
+            normals, ds, scan[keep], idx[keep], rt0=rt
+        )
+        rt = np.asarray(rt_new, np.float64)
+        print(
+            f"iter {it}: {int(keep.sum())} assoc, rms {diag['rms']:.4f} m, "
+            f"conditioning {diag['conditioning']:.1f}"
+        )
+    if args.out:
+        np.savetxt(args.out, rt, fmt="%9.6f")
+        print(f"wrote laser->rig extrinsic to {args.out}")
+    return rt
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -253,6 +330,20 @@ def main(argv=None):
     po.add_argument("--out", default=None)
     add_calib_args(po)
     po.set_defaults(fn=cmd_online)
+
+    pl = sub.add_parser("laser")
+    pl.add_argument("rawlog", help="rawlog containing CObservation2DRangeScan")
+    pl.add_argument("--planes", default=None,
+                    help="JSON [{'n': [x,y,z], 'd': d}, ...] rig planes; "
+                    "default: segment from --frames capture")
+    pl.add_argument("--frames", default=None,
+                    help="capture dir to segment rig planes from")
+    pl.add_argument("--guess", default=None, help="initial laser->rig Rt file")
+    pl.add_argument("--iters", type=int, default=3)
+    pl.add_argument("--assoc-tol", type=float, default=0.15)
+    pl.add_argument("--out", default=None)
+    add_calib_args(pl)
+    pl.set_defaults(fn=cmd_laser)
 
     args = p.parse_args(argv)
     return args.fn(args)

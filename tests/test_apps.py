@@ -181,6 +181,76 @@ def test_calibrate_online_pair(tmp_path):
     assert (tmp_path / "rt" / "Rt_02.txt").exists()
 
 
+def test_calibrate_laser_app(tmp_path):
+    """Laser cross-calibration end to end: segment planes from the real rig
+    frame, ray-cast a synthetic 2D scan from a known laser pose against
+    those planes, round-trip it through the rawlog codec, and recover the
+    pose from a perturbed guess."""
+    import json
+
+    from rgbd360_tpu.apps import calibrate
+    from rgbd360_tpu.core.frame import FrameBuilder
+    from rgbd360_tpu.io.calib import load_calibration
+    from rgbd360_tpu.io.dataset import SequenceDataset
+    from rgbd360_tpu.io.rawlog import Obs2DRangeScan, write_rawlog
+    from rgbd360_tpu.ops import se3
+
+    calib = load_calibration(
+        "/root/reference/Calibration/Extrinsics",
+        "/root/reference/Calibration/Intrinsics",
+    )
+    builder = FrameBuilder(calib)
+    f = builder.build_from_raw(SequenceDataset(SAMPLES)[0])
+    ps = builder.segment_planes(f)
+    valid = np.asarray(ps.valid)
+    normals = np.asarray(ps.normal)[valid].astype(np.float64)
+    ds_ = np.asarray(ps.d)[valid].astype(np.float64)
+    json.dump(
+        [{"n": n.tolist(), "d": float(d)} for n, d in zip(normals, ds_)],
+        open(tmp_path / "planes.json", "w"),
+    )
+
+    import jax.numpy as jnp
+
+    rt_true = np.asarray(
+        se3.se3_exp(jnp.array([0.05, -0.03, 0.08, 0.02, -0.04, 0.03])), np.float64
+    )
+    n_rays = 361
+    aperture = float(np.pi)
+    ang = -aperture / 2 + np.arange(n_rays) * (aperture / (n_rays - 1))
+    dirs_l = np.stack([np.cos(ang), np.sin(ang), np.zeros(n_rays)], -1)
+    o = rt_true[:3, 3]
+    dirs = dirs_l @ rt_true[:3, :3].T
+    # nearest positive plane intersection per ray
+    denom = dirs @ normals.T
+    s = -(o @ normals.T + ds_)[None, :] / np.where(np.abs(denom) > 1e-6, denom, 1e-6)
+    s = np.where((np.abs(denom) > 0.1) & (s > 0.3), s, np.inf)
+    rng_m = s.min(axis=1)
+    hit = np.isfinite(rng_m)
+    scan = Obs2DRangeScan(
+        sensor_label="LASER",
+        aperture=aperture,
+        right_to_left=True,
+        max_range=20.0,
+        ranges=np.where(hit, rng_m, 0.0).astype(np.float32),
+        validity=hit.astype(np.uint8),
+    )
+    write_rawlog(tmp_path / "scan.rawlog", [scan])
+
+    np.savetxt(tmp_path / "guess.txt", np.eye(4))
+    rt_est = calibrate.main(
+        ["laser", str(tmp_path / "scan.rawlog"),
+         "--planes", str(tmp_path / "planes.json"),
+         "--guess", str(tmp_path / "guess.txt"),
+         "--out", str(tmp_path / "rt_laser.txt")]
+    )
+    d = np.linalg.inv(rt_true) @ rt_est
+    ang_err = np.arccos(np.clip((np.trace(d[:3, :3]) - 1) / 2, -1, 1))
+    t_err = np.linalg.norm(d[:3, 3])
+    assert ang_err < 0.02, ang_err
+    assert t_err < 0.03, t_err
+
+
 def test_labelize_pipeline(tmp_path):
     from rgbd360_tpu.apps import labelize
 
