@@ -148,3 +148,42 @@ def test_distributed_plane_ba_matches_single(mesh):
     pd, pld, c2, _ = distributed_plane_ba(mesh, prob, max_iters=12)
     np.testing.assert_allclose(np.asarray(ps), np.asarray(pd), atol=1e-5)
     np.testing.assert_allclose(np.asarray(pl), np.asarray(pld), atol=1e-5)
+
+
+def test_multihost_helpers_single_process():
+    """Multi-host glue degrades exactly to the local case in one process:
+    meshes cover all devices, boundary converters round-trip, agreement is
+    trivially true, initialize() is a no-op."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    from rgbd360_tpu.parallel import multihost as mh
+
+    assert mh.initialize() is False  # single-process: no distributed runtime
+    gm = mh.global_mesh("kf")
+    assert gm.devices.size == len(jax.devices())
+    hm = mh.hosts_mesh()
+    assert hm.devices.shape == (1, len(jax.devices()))
+
+    n = gm.devices.size
+    x = np.arange(4 * n, dtype=np.float32).reshape(n, 4)
+    gx = mh.host_local_to_global(gm, P("kf"), x)
+    assert gx.shape == x.shape
+
+    # hierarchical psum over the 2D (host, device) mesh
+    y = jnp.ones((1, hm.devices.shape[1], 8))
+
+    def local(v):
+        s = jax.lax.psum(jnp.sum(v), "device")
+        return jax.lax.psum(s, "host")[None]
+
+    tot = shard_map(
+        local, mesh=hm, in_specs=(P("host", "device"),), out_specs=P("host")
+    )(y)
+    assert float(np.asarray(tot)[0]) == y.size
+
+    back = mh.global_to_host_local(gm, P("kf"), gx)
+    np.testing.assert_array_equal(np.asarray(back), x)
+    assert mh.all_hosts_agree(1.25)
