@@ -15,7 +15,6 @@ import time
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 from rgbd360_tpu.apps._common import add_calib_args, load_calib
 

@@ -119,7 +119,6 @@ def cmd_online(args):
     grab, segment, match couples, update conditioning, calibrate when every
     couple is observable; `Calibration/OnlineCalibration.cpp:403-677`)."""
     import jax
-    import jax.numpy as jnp
 
     from rgbd360_tpu.calibration import RigCalibrator, PairCalibrator
     from rgbd360_tpu.calibration.control_planes import (

@@ -99,16 +99,29 @@ def main(argv=None):
     p.add_argument("--plane-ba", action="store_true",
                    help="final joint refinement of keyframe poses + global "
                    "plane landmarks (Schur-complement planar BA)")
+    p.add_argument("--salient", type=int, default=0, metavar="K",
+                   help="track with K stratified-salient pixels at the finest "
+                   "level instead of dense sweeps (the reference's "
+                   "bUseSalientPixels; 16384 doubles frontend throughput at "
+                   "~3.5 mm pose difference on the samples)")
     add_calib_args(p)
     args = p.parse_args(argv)
 
+    import dataclasses
+
+    from rgbd360_tpu.config import default_config
     from rgbd360_tpu.core.frame import FrameBuilder
     from rgbd360_tpu.io.dataset import SequenceDataset
     from rgbd360_tpu.slam.odometry import KeyframeSLAM
     from rgbd360_tpu.slam.pbmap_slam import PbMapGraphSLAM
 
     calib = load_calib(args)
-    builder = FrameBuilder(calib)
+    config = default_config()
+    if args.salient:
+        config = dataclasses.replace(
+            config, dense=dataclasses.replace(config.dense, salient_pixels=args.salient)
+        )
+    builder = FrameBuilder(calib, config)
     ds = SequenceDataset(args.dataset)
     if len(ds) == 0:
         raise SystemExit(f"no sphere_images_*.bin found in {args.dataset}")

@@ -16,7 +16,6 @@ reference) is expressed as a leading sensor axis that XLA vectorizes.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -15,8 +15,6 @@ import queue
 from pathlib import Path
 from typing import Iterator
 
-import numpy as np
-
 from rgbd360_tpu.io.bin_format import RawRigFrame, read_rig_frame
 
 try:  # native fast decode path (built from native/loader.cpp)

@@ -29,7 +29,6 @@ alignment.  The warp is a dynamic gather, which TPU handles natively.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -139,6 +139,17 @@ def test_kf_slam_app(tmp_path):
     assert b"element edge" in topo and b"red" in topo
 
 
+def test_kf_slam_salient_tracking(tmp_path):
+    """--salient K tracks with stratified-salient sweeps; the recovered
+    inter-frame pose must match the dense default to a few mm."""
+    from rgbd360_tpu.apps import kf_slam
+
+    slam = kf_slam.main([SAMPLES, "--salient", "16384"])
+    assert slam.config.dense.salient_pixels == 16384
+    t = slam.trajectory[-1][:3, 3]
+    assert 0.25 < np.linalg.norm(t) < 0.4
+
+
 def test_calibrate_pipeline(tmp_path):
     from rgbd360_tpu.apps import calibrate
 
