@@ -80,6 +80,7 @@ def export_frame(builder, raw, outdir: Path, tag: str, planes=False, cloud=False
         )
         msg.append(f"{npts} cloud points")
     print("  ".join(msg))
+    return f
 
 
 def main(argv=None):
@@ -89,6 +90,11 @@ def main(argv=None):
     p.add_argument("--planes", action="store_true")
     p.add_argument("--cloud", action="store_true")
     p.add_argument("--sequence", action="store_true")
+    p.add_argument("--video", action="store_true",
+                   help="also write sequence.gif of the sphere RGB frames "
+                   "(the reference sequence viewer's save-video mode, "
+                   "LoadSequence.cpp:59-65)")
+    p.add_argument("--fps", type=float, default=10.0)
     add_calib_args(p)
     args = p.parse_args(argv)
 
@@ -103,10 +109,20 @@ def main(argv=None):
 
     if args.sequence or Path(args.input).is_dir():
         ds = SequenceDataset(args.input)
+        video = []
         for i, raw in enumerate(ds):
-            export_frame(
+            f = export_frame(
                 builder, raw, outdir, f"frame_{ds.indices[i]}", args.planes, args.cloud
             )
+            if args.video:
+                from rgbd360_tpu.utils.viz import bgr_to_rgb
+
+                video.append(bgr_to_rgb(np.asarray(f.sphere_rgb)))
+        if args.video and video:
+            from rgbd360_tpu.utils.viz import save_gif
+
+            save_gif(outdir / "sequence.gif", video, fps=args.fps)
+            print(f"wrote {outdir / 'sequence.gif'} ({len(video)} frames)")
     else:
         export_frame(
             builder, read_rig_frame(args.input), outdir, Path(args.input).stem,

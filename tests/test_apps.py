@@ -314,3 +314,22 @@ def test_view_sequence_mode(tmp_path):
 
     view_frame.main([SAMPLES, "--out", str(tmp_path), "--sequence"])
     assert len(list(tmp_path.glob("frame_*_rgb.png"))) == 2
+
+
+def test_view_sequence_video(tmp_path):
+    """--video writes an animated GIF of the sequence that a real decoder
+    reads back frame-for-frame (quantization-bounded error)."""
+    from rgbd360_tpu.apps import view_frame
+
+    view_frame.main([SAMPLES, "--out", str(tmp_path), "--sequence", "--video"])
+    gif = tmp_path / "sequence.gif"
+    assert gif.exists()
+    data = gif.read_bytes()
+    assert data[:6] == b"GIF89a" and data[-1:] == b"\x3b"
+    try:
+        from PIL import Image, ImageSequence
+    except ImportError:
+        return
+    frames = list(ImageSequence.Iterator(Image.open(gif)))
+    assert len(frames) == 2
+    assert frames[0].size == (1920, 320)
