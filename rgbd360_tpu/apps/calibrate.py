@@ -15,6 +15,11 @@ Subcommands:
               `Miscellaneous.h:76`), keep refining as data arrives.
               `--sensors A B` restricts to one couple (OnlinePairCalibrator);
               `--live` consumes a directory being written by a grabber.
+  tof       — ToF/Kinect cross-calibration from a rawlog of paired 3D
+              observations (reference `ToFCalibrator.cpp`): RANSAC dominant
+              plane per cloud per frame, accumulate plane correspondences,
+              solve the pair extrinsic.
+  laser     — 2D-laser <-> rig calibration (reference `LaserCalibrator.cpp`).
 
 Usage:
     python -m rgbd360_tpu.apps.calibrate collect DATASET_DIR --out cp.txt
@@ -284,6 +289,40 @@ def cmd_laser(args):
     return rt
 
 
+def cmd_tof(args):
+    """ToF/Kinect cross-calibration (reference `ToFCalibrator.cpp:162-284`):
+    pair the two labeled 3D observations per frame, RANSAC the dominant
+    plane of each cloud, save the correspondence matrix, solve the pair."""
+    from rgbd360_tpu.calibration.tof import calibrate_tof, collect_tof_correspondences
+
+    def load_k(path):
+        return None if path is None else np.loadtxt(path).reshape(3, 3)
+
+    corresp = collect_tof_correspondences(
+        args.rawlog,
+        labels=tuple(args.labels),
+        k_a=load_k(args.k_a),
+        k_b=load_k(args.k_b),
+        dist_threshold=args.dist_threshold,
+    )
+    print(f"{len(corresp)} plane correspondences from {args.rawlog}")
+    if args.corresp_out:
+        np.savetxt(args.corresp_out, corresp)
+        print(f"wrote correspondence matrix to {args.corresp_out}")
+    if len(corresp) < 3:
+        raise SystemExit("not enough correspondences to solve (need >= 3)")
+    rt, diag = calibrate_tof(corresp)
+    np.set_printoptions(precision=6, suppress=True)
+    print(f"conditioning {diag['conditioning']:.1f} "
+          f"({'ok' if diag['well_conditioned'] else 'ILL-CONDITIONED'}), "
+          f"rot residual {diag['rot_error']:.2e}")
+    print(f"{args.labels[1]} -> {args.labels[0]} extrinsic:\n{rt}")
+    if args.out:
+        np.savetxt(args.out, rt, fmt="%9.6f")
+        print(f"wrote extrinsic to {args.out}")
+    return rt
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -329,6 +368,20 @@ def main(argv=None):
     po.add_argument("--out", default=None)
     add_calib_args(po)
     po.set_defaults(fn=cmd_online)
+
+    pt = sub.add_parser("tof")
+    pt.add_argument("rawlog", help="rawlog with paired CObservation3DRangeScan")
+    pt.add_argument("--labels", nargs=2, default=["KINECT", "CAM3D"],
+                    help="sensor labels of the pair (ToFCalibrator.cpp:191-198)")
+    pt.add_argument("--k-a", default=None, help="3x3 intrinsics file for label A "
+                    "(default: VGA-scaled 525 focal, centered)")
+    pt.add_argument("--k-b", default=None, help="3x3 intrinsics file for label B")
+    pt.add_argument("--dist-threshold", type=float, default=0.03,
+                    help="RANSAC inlier distance (PCL default in the reference)")
+    pt.add_argument("--corresp-out", default=None,
+                    help="save the (C, 8) correspondence matrix (correspondences.txt)")
+    pt.add_argument("--out", default=None, help="save the solved 4x4 extrinsic")
+    pt.set_defaults(fn=cmd_tof)
 
     pl = sub.add_parser("laser")
     pl.add_argument("rawlog", help="rawlog containing CObservation2DRangeScan")

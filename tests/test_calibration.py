@@ -188,3 +188,120 @@ class TestRealRecordedData:
         assert max(errs_r) < 5.0, errs_r
         assert float(np.mean(errs_t)) < 0.04
         assert float(np.mean(errs_r)) < 3.0
+
+
+class TestRansacPlane:
+    def test_dominant_plane_with_outliers(self):
+        from rgbd360_tpu.ops.ransac import ransac_plane
+
+        rng = np.random.default_rng(3)
+        n_true = np.array([0.2, -0.5, 0.84])
+        n_true /= np.linalg.norm(n_true)
+        d_true = 1.7
+        # 2000 inliers on the plane (n.x + d = 0), 600 uniform outliers
+        basis = np.linalg.svd(n_true[None, :])[2][1:]  # 2 in-plane directions
+        uv = rng.uniform(-2, 2, (2000, 2))
+        pts_in = -d_true * n_true + uv @ basis + rng.normal(0, 0.004, (2000, 3))
+        pts_out = rng.uniform(-4, 4, (600, 3))
+        pts = np.vstack([pts_in, pts_out])
+        n, d, inl = ransac_plane(pts, dist_threshold=0.03)
+        assert d >= 0
+        sign = np.sign(np.dot(n, n_true)) or 1.0
+        assert np.dot(sign * n, n_true) > 0.9999
+        assert abs(sign * d - d_true) < 0.01
+        assert inl[:2000].mean() > 0.98 and inl[2000:].mean() < 0.05
+
+    def test_invalid_points_never_vote(self):
+        from rgbd360_tpu.ops.ransac import ransac_plane
+
+        rng = np.random.default_rng(0)
+        # valid points on z = 0.5; masked points on a competing bigger plane
+        a = np.column_stack([rng.uniform(-1, 1, (300, 2)), np.full(300, 0.5)])
+        b = np.column_stack([rng.uniform(-1, 1, (900, 2)), np.full(900, 2.0)])
+        pts = np.vstack([a, b])
+        valid = np.arange(len(pts)) < 300
+        n, d, inl = ransac_plane(pts, valid, dist_threshold=0.02)
+        assert abs(abs(n[2]) - 1.0) < 1e-4
+        assert abs(d - 0.5) < 0.01
+        assert not inl[300:].any()
+
+    def test_nan_points_handled(self):
+        from rgbd360_tpu.ops.ransac import ransac_plane
+
+        rng = np.random.default_rng(1)
+        pts = np.column_stack([rng.uniform(-1, 1, (400, 2)), np.zeros(400)])
+        pts[::7] = np.nan
+        n, d, inl = ransac_plane(pts, dist_threshold=0.02)
+        assert abs(abs(n[2]) - 1.0) < 1e-4 and abs(d) < 0.01
+        assert not inl[::7].any()
+
+
+class TestTofCalibration:
+    """End-to-end ToFCalibrator analogue: synthetic rawlog of paired 3D
+    observations -> RANSAC plane correspondences -> pair extrinsic solve
+    (reference `Calibration/ToFCalibrator.cpp:162-284`)."""
+
+    def _make_rawlog(self, path, rt_ab, n_frames=8, seed=0):
+        from rgbd360_tpu.io.rawlog import (
+            Obs3DRangeScan,
+            unix_to_mrpt_timestamp,
+            write_rawlog,
+        )
+
+        rng = np.random.default_rng(seed)
+        r_ab, t_ab = rt_ab[:3, :3], rt_ab[:3, 3]
+        obs = []
+        for f in range(n_frames):
+            # a wall plane in sensor A's frame, well conditioned over frames
+            n_a = rng.normal(size=3)
+            n_a /= np.linalg.norm(n_a)
+            d_a = rng.uniform(1.0, 3.0)
+            basis = np.linalg.svd(n_a[None, :])[2][1:]
+            uv = rng.uniform(-1.5, 1.5, (3000, 2))
+            pts_a = -d_a * n_a + uv @ basis + rng.normal(0, 0.003, (3000, 3))
+            pts_a = np.vstack([pts_a, rng.uniform(-3, 3, (300, 3))])  # clutter
+            # the same physical points seen from B: x_a = R x_b + t
+            pts_b = (pts_a - t_ab) @ r_ab
+            ts = unix_to_mrpt_timestamp(1000.0 + f)
+            obs.append(Obs3DRangeScan(sensor_label="KINECT", timestamp=ts,
+                                      points3d=pts_a.astype(np.float32)))
+            obs.append(Obs3DRangeScan(sensor_label="CAM3D", timestamp=ts,
+                                      points3d=pts_b.astype(np.float32)))
+        write_rawlog(path, obs)
+
+    def test_recover_pair_extrinsic(self, tmp_path):
+        from rgbd360_tpu.calibration.tof import (
+            calibrate_tof,
+            collect_tof_correspondences,
+        )
+
+        rt_true = np.asarray(
+            se3.se3_exp(jnp.asarray([0.10, -0.04, 0.02, 0.05, -0.3, 0.15]))
+        )
+        log = tmp_path / "tof.rawlog"
+        self._make_rawlog(str(log), rt_true)
+        corresp = collect_tof_correspondences(str(log))
+        assert len(corresp) >= 6
+        rt, diag = calibrate_tof(corresp)
+        err = np.asarray(se3.se3_log(jnp.asarray(np.linalg.inv(rt) @ rt_true)))
+        assert np.linalg.norm(err[:3]) < 0.01, err
+        assert np.degrees(np.linalg.norm(err[3:])) < 0.5, err
+        assert diag["well_conditioned"]
+
+    def test_tof_app_cli(self, tmp_path):
+        from rgbd360_tpu.apps.calibrate import main as calibrate_main
+
+        rt_true = np.asarray(
+            se3.se3_exp(jnp.asarray([0.05, 0.0, -0.02, 0.0, 0.2, -0.1]))
+        )
+        log = tmp_path / "tof.rawlog"
+        self._make_rawlog(str(log), rt_true, n_frames=6, seed=4)
+        out = tmp_path / "rt.txt"
+        co = tmp_path / "correspondences.txt"
+        calibrate_main(["tof", str(log), "--out", str(out),
+                        "--corresp-out", str(co)])
+        assert np.loadtxt(co).shape[1] == 8
+        rt = np.loadtxt(out)
+        err = np.asarray(se3.se3_log(jnp.asarray(np.linalg.inv(rt) @ rt_true)))
+        assert np.linalg.norm(err[:3]) < 0.01
+        assert np.degrees(np.linalg.norm(err[3:])) < 0.5
