@@ -20,6 +20,8 @@ Subcommands:
               plane per cloud per frame, accumulate plane correspondences,
               solve the pair extrinsic.
   laser     — 2D-laser <-> rig calibration (reference `LaserCalibrator.cpp`).
+  fim       — Fisher-information eigenvalues vs correspondence count (the
+              reference's `FIM_eigen_vs_numCorresp.m` observability analysis).
 
 Usage:
     python -m rgbd360_tpu.apps.calibrate collect DATASET_DIR --out cp.txt
@@ -212,6 +214,52 @@ def cmd_online(args):
     return rt if solved else None
 
 
+def cmd_fim(args):
+    """Observability analysis: Fisher-information eigenvalues as a function
+    of the number of accumulated correspondences (the reference's
+    `FIM_eigen_vs_numCorresp.m` analysis artifact, which plots
+    sqrt(eig(FIM_rot)) and 1/sqrt(min eig) against correspondence count from
+    a dumped FIM table).  Writes a CSV with, per prefix length n: the three
+    rotation-FIM eigenvalues, the three translation-FIM eigenvalues, and the
+    1-sigma uncertainty proxy 1/sqrt(min eig)."""
+    from rgbd360_tpu.calibration.control_planes import ControlPlanes
+    from rgbd360_tpu.calibration.solver import fim_rotation, fim_translation
+
+    cp = ControlPlanes.load(args.control_planes)
+    a, b = args.sensors
+    key = (a, b) if (a, b) in cp.pairs else (b, a)
+    if key not in cp.pairs:
+        raise SystemExit(f"no correspondences for pair {a},{b}")
+    p = cp.pairs[key]
+    calib = load_calib(args)
+    rt = np.asarray(calib.rt, np.float64)
+    rel = np.linalg.inv(rt[key[0]]) @ rt[key[1]]
+    n_total = len(p["w"])
+    rows = []
+    for n in range(1, n_total + 1):
+        fr = fim_rotation(p["n_a"][:n], p["n_b"][:n], rel[:3, :3], p["w"][:n])
+        ft = fim_translation(p["n_a"][:n], p["w"][:n])
+        er = np.sort(np.linalg.eigvalsh(fr))
+        et = np.sort(np.linalg.eigvalsh(ft))
+        rows.append([n, *er, *et])
+    rows = np.asarray(rows)
+    unc_rot = 1.0 / np.sqrt(np.maximum(rows[:, 1], 1e-12))
+    unc_trans = 1.0 / np.sqrt(np.maximum(rows[:, 4], 1e-12))
+    table = np.column_stack([rows, unc_rot, unc_trans])
+    header = ("n,rot_eig0,rot_eig1,rot_eig2,trans_eig0,trans_eig1,trans_eig2,"
+              "rot_sigma,trans_sigma")
+    if args.out:
+        np.savetxt(args.out, table, fmt="%.6g", delimiter=",",
+                   header=header, comments="")
+        print(f"wrote {len(table)} rows to {args.out}")
+    last = table[-1]
+    print(f"pair {key}: n={n_total}  rot eigs {last[1]:.3g}/{last[2]:.3g}/"
+          f"{last[3]:.3g}  trans eigs {last[4]:.3g}/{last[5]:.3g}/{last[6]:.3g}")
+    print(f"1-sigma (worst axis): rotation {last[7]:.4f} rad, "
+          f"translation {last[8]:.4f} m")
+    return table
+
+
 def cmd_laser(args):
     """Laser(2D scanner)/ToF <-> rig extrinsic calibration from a rawlog of
     scans + rig-observed planes (reference `Calibration/LaserCalibrator.cpp`
@@ -368,6 +416,13 @@ def main(argv=None):
     po.add_argument("--out", default=None)
     add_calib_args(po)
     po.set_defaults(fn=cmd_online)
+
+    pf = sub.add_parser("fim")
+    pf.add_argument("control_planes")
+    pf.add_argument("--sensors", type=int, nargs=2, required=True)
+    pf.add_argument("--out", default=None, help="CSV output path")
+    add_calib_args(pf)
+    pf.set_defaults(fn=cmd_fim)
 
     pt = sub.add_parser("tof")
     pt.add_argument("rawlog", help="rawlog with paired CObservation3DRangeScan")

@@ -171,6 +171,23 @@ def test_calibrate_pipeline(tmp_path):
     assert ang < 0.1, ang
 
 
+def test_calibrate_fim_analysis(tmp_path):
+    """FIM_eigen_vs_numCorresp.m analogue: eigenvalues grow monotonically
+    with correspondence count and the CSV is written."""
+    from rgbd360_tpu.apps import calibrate
+
+    cp_file = str(tmp_path / "cp.txt")
+    calibrate.main(["collect", SAMPLES, "--out", cp_file])
+    out = str(tmp_path / "fim.csv")
+    table = calibrate.main(["fim", cp_file, "--sensors", "0", "1", "--out", out])
+    assert table.shape[1] == 9
+    # information only accumulates: largest eigenvalue is non-decreasing
+    assert np.all(np.diff(table[:, 3]) >= -1e-9)
+    assert np.all(np.diff(table[:, 6]) >= -1e-9)
+    rows = np.loadtxt(out, delimiter=",", skiprows=1)
+    assert rows.shape == table.shape
+
+
 def test_calibrate_online_pair(tmp_path):
     """OnlinePairCalibrator analogue: stream the sample frames, accumulate
     couple correspondences until conditioned, solve the pair extrinsic, and
