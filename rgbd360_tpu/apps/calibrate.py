@@ -86,16 +86,20 @@ def cmd_solve(args):
         print(f"wrote Rt_0*.txt to {outdir}")
 
 
+def _resolve_pair(cp, a: int, b: int):
+    """Look up the (a, b) couple in either stored order."""
+    key = (a, b) if (a, b) in cp.pairs else (b, a)
+    if key not in cp.pairs:
+        raise SystemExit(f"no correspondences for pair {a},{b}")
+    return key, cp.pairs[key]
+
+
 def cmd_pair(args):
     from rgbd360_tpu.calibration import PairCalibrator
     from rgbd360_tpu.calibration.control_planes import ControlPlanes
 
     cp = ControlPlanes.load(args.control_planes)
-    a, b = args.sensors
-    key = (a, b) if (a, b) in cp.pairs else (b, a)
-    if key not in cp.pairs:
-        raise SystemExit(f"no correspondences for pair {a},{b}")
-    p = cp.pairs[key]
+    key, p = _resolve_pair(cp, *args.sensors)
     rt, diag = PairCalibrator().calibrate(p["n_a"], p["d_a"], p["n_b"], p["d_b"], p["w"])
     print(f"pair {key}: conditioning={diag['conditioning']:.1f} "
           f"rot_error={diag['rot_error']:.6f}")
@@ -223,26 +227,27 @@ def cmd_fim(args):
     rotation-FIM eigenvalues, the three translation-FIM eigenvalues, and the
     1-sigma uncertainty proxy 1/sqrt(min eig)."""
     from rgbd360_tpu.calibration.control_planes import ControlPlanes
-    from rgbd360_tpu.calibration.solver import fim_rotation, fim_translation
 
     cp = ControlPlanes.load(args.control_planes)
-    a, b = args.sensors
-    key = (a, b) if (a, b) in cp.pairs else (b, a)
-    if key not in cp.pairs:
-        raise SystemExit(f"no correspondences for pair {a},{b}")
-    p = cp.pairs[key]
+    key, p = _resolve_pair(cp, *args.sensors)
     calib = load_calib(args)
     rt = np.asarray(calib.rt, np.float64)
     rel = np.linalg.inv(rt[key[0]]) @ rt[key[1]]
     n_total = len(p["w"])
-    rows = []
-    for n in range(1, n_total + 1):
-        fr = fim_rotation(p["n_a"][:n], p["n_b"][:n], rel[:3, :3], p["w"][:n])
-        ft = fim_translation(p["n_a"][:n], p["w"][:n])
-        er = np.sort(np.linalg.eigvalsh(fr))
-        et = np.sort(np.linalg.eigvalsh(ft))
-        rows.append([n, *er, *et])
-    rows = np.asarray(rows)
+    # The FIM is additive per correspondence, so all prefix FIMs come from
+    # ONE cumulative sum of per-correspondence contributions (solver.py
+    # fim_rotation/fim_translation semantics):
+    #   rotation:     w * skew(Rn) skew(Rn)^T = w * (|Rn|^2 I - Rn Rn^T)
+    #   translation:  w * n n^T
+    w = np.asarray(p["w"], np.float64)[:, None, None]
+    rn = np.asarray(p["n_b"], np.float64) @ rel[:3, :3].T
+    sq = np.einsum("ki,ki->k", rn, rn)[:, None, None]
+    c_rot = w * (sq * np.eye(3) - np.einsum("ki,kj->kij", rn, rn))
+    n_a = np.asarray(p["n_a"], np.float64)
+    c_tr = w * np.einsum("ki,kj->kij", n_a, n_a)
+    er = np.linalg.eigvalsh(np.cumsum(c_rot, axis=0))  # (N, 3) ascending
+    et = np.linalg.eigvalsh(np.cumsum(c_tr, axis=0))
+    rows = np.column_stack([np.arange(1, n_total + 1), er, et])
     unc_rot = 1.0 / np.sqrt(np.maximum(rows[:, 1], 1e-12))
     unc_trans = 1.0 / np.sqrt(np.maximum(rows[:, 4], 1e-12))
     table = np.column_stack([rows, unc_rot, unc_trans])

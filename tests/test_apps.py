@@ -186,6 +186,22 @@ def test_calibrate_fim_analysis(tmp_path):
     assert np.all(np.diff(table[:, 6]) >= -1e-9)
     rows = np.loadtxt(out, delimiter=",", skiprows=1)
     assert rows.shape == table.shape
+    # the cumulative vectorized form agrees with the direct FIM at full N
+    from rgbd360_tpu.calibration.control_planes import ControlPlanes
+    from rgbd360_tpu.calibration.solver import fim_rotation
+    from rgbd360_tpu.io.calib import load_calibration
+
+    cp = ControlPlanes.load(cp_file)
+    key = (0, 1)
+    p = cp.pairs[key]
+    calib = load_calibration("/root/reference/Calibration/Extrinsics",
+                             "/root/reference/Calibration/Intrinsics")
+    rt = np.asarray(calib.rt, np.float64)
+    rel = np.linalg.inv(rt[0]) @ rt[1]
+    fr = fim_rotation(p["n_a"], p["n_b"], rel[:3, :3], p["w"])
+    np.testing.assert_allclose(
+        table[-1, 1:4], np.linalg.eigvalsh(fr), rtol=1e-9
+    )
 
 
 def test_calibrate_online_pair(tmp_path):
