@@ -27,6 +27,27 @@ def add_calib_args(p: argparse.ArgumentParser):
         help="reference-format configLocaliser INI with the plane-matcher "
         "thresholds (reference config_files/configLocaliser_*.ini)",
     )
+    p.add_argument(
+        "--parallax-refine",
+        action="store_true",
+        help="two-pass parallax-corrected stitch: exact rig-centered radial "
+        "depth (beyond-reference accuracy; ~one extra gather per frame)",
+    )
+
+
+def frame_config(args, config=None):
+    """FrameworkConfig with the frame-build CLI flags applied."""
+    import dataclasses
+
+    from rgbd360_tpu.config import default_config
+
+    config = config or default_config()
+    if getattr(args, "parallax_refine", False):
+        config = dataclasses.replace(
+            config,
+            sphere=dataclasses.replace(config.sphere, parallax_refine=True),
+        )
+    return config
 
 
 def matcher_config(args):

@@ -99,6 +99,10 @@ def main(argv=None):
     p.add_argument("--plane-ba", action="store_true",
                    help="final joint refinement of keyframe poses + global "
                    "plane landmarks (Schur-complement planar BA)")
+    p.add_argument("--gt", default=None, metavar="FILE",
+                   help="ground-truth poses (N x 16 rows, flattened 4x4 — the "
+                   "grabber synth gt_poses.txt format); prints ATE/RPE after "
+                   "the run")
     p.add_argument("--salient", type=int, default=0, metavar="K",
                    help="track with K stratified-salient pixels at the finest "
                    "level instead of dense sweeps (the reference's "
@@ -115,8 +119,10 @@ def main(argv=None):
     from rgbd360_tpu.slam.odometry import KeyframeSLAM
     from rgbd360_tpu.slam.pbmap_slam import PbMapGraphSLAM
 
+    from rgbd360_tpu.apps._common import frame_config
+
     calib = load_calib(args)
-    config = default_config()
+    config = frame_config(args, default_config())
     if args.salient:
         config = dataclasses.replace(
             config, dense=dataclasses.replace(config.dense, salient_pixels=args.salient)
@@ -162,6 +168,19 @@ def main(argv=None):
         print(
             f"plane BA: {n_lm} landmarks, {int(prob.obs.shape[0])} observations, "
             f"chi2={float(chi2):.4f} in {int(iters)} LM iters"
+        )
+    if args.gt:
+        from rgbd360_tpu.utils.metrics import ate_rmse, rpe, trajectory_length
+
+        gt = np.loadtxt(args.gt).reshape(-1, 4, 4)
+        est = np.stack(slam.trajectory)
+        n = min(len(gt), len(est))
+        ate = ate_rmse(est[:n], gt[:n])
+        rpe_t, rpe_r = rpe(est[:n], gt[:n])
+        print(
+            f"ATE {ate:.4f} m over {n} frames "
+            f"(path {trajectory_length(gt[:n]):.2f} m); "
+            f"RPE {rpe_t:.4f} m / {rpe_r:.4f} rad per frame"
         )
     if args.timing and hasattr(slam, "timer"):
         print(slam.timer.report())

@@ -43,8 +43,10 @@ def main(argv=None):
     from rgbd360_tpu.io.dataset import SequenceDataset, StreamingDataset
     from rgbd360_tpu.slam.odometry import FrameToFrameOdometry, KeyframeSLAM
 
+    from rgbd360_tpu.apps._common import frame_config
+
     calib = load_calib(args)
-    builder = FrameBuilder(calib)
+    builder = FrameBuilder(calib, frame_config(args))
     if args.online:
         ds = StreamingDataset(args.dataset, idle_timeout=args.idle_timeout)
     else:

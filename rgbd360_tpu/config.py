@@ -46,6 +46,13 @@ class SphereConfig:
 
     width: int = 1920
     height: int = 320
+    # Two-pass parallax-corrected stitch (ops/stitch.stitch_refined):
+    # re-projects each ray at its measured depth and stores exact
+    # rig-centered radial distance.  Removes the rig-locked parallax warp of
+    # the calibration-only maps (which the reference shares) at the cost of
+    # one extra row gather per frame.  Off by default to match the
+    # reference's sphere semantics and the recorded throughput numbers.
+    parallax_refine: bool = False
 
 
 @dataclass(frozen=True)

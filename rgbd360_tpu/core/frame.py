@@ -156,6 +156,7 @@ class FrameBuilder:
             scale=self.maps.scale,
             valid=self.maps.valid,
             rt=self.rt,
+            rt_inv=jnp.asarray(calib.rt_inv),
             k=self.k,
         )
         if self.clams is not None:
@@ -207,7 +208,15 @@ class FrameBuilder:
         rgb, depth = self._undistort_stage(params, rgb, depth_raw)
 
         # 2. stitch spherical images
-        sphere_rgb, sphere_depth = stitch_ops.stitch(self._maps_from(params), rgb, depth)
+        if self.config.sphere.parallax_refine:
+            sphere_rgb, sphere_depth = stitch_ops.stitch_refined(
+                self._maps_from(params), rgb, depth,
+                params["rt"], params["rt_inv"], params["k"],
+            )
+        else:
+            sphere_rgb, sphere_depth = stitch_ops.stitch(
+                self._maps_from(params), rgb, depth
+            )
         sphere_gray = stitch_ops.rgb_to_gray(sphere_rgb)
         return self._cloud_stage(params, rgb, depth, sphere_rgb, sphere_gray, sphere_depth)
 

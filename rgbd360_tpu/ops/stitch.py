@@ -102,6 +102,121 @@ def compute_stitch_maps(
     )
 
 
+def refine_stitch_maps(
+    maps: StitchMaps,
+    sphere_depth: jnp.ndarray,
+    rt_inv: jnp.ndarray,
+    k: jnp.ndarray,
+    sensor_h: int,
+    sensor_w: int,
+) -> StitchMaps:
+    """Parallax-corrected gather maps from a first-pass sphere depth.
+
+    The calibration-only maps (like the reference's `Frame360::stitchImage`,
+    `include/Frame360.h:1128`) project each sphere ray as a point at
+    distance 1 m, so off-center sensors sample the wrong surface point for
+    scenes at other depths — a fixed, rig-locked parallax warp of up to a
+    few degrees that biases dense registration between different poses.
+    This second pass re-projects each ray at its MEASURED radial depth into
+    its owning sensor, which collapses that bias (beyond-reference
+    accuracy; the reference has no such correction).  Pixels with no depth
+    keep the first-pass mapping.
+    """
+    u_f, v_f, ok, _ = _project_at_depth(
+        maps, sphere_depth, rt_inv, k, sensor_h, sensor_w
+    )
+    u_i = jnp.clip(u_f.astype(jnp.int32), 0, sensor_w - 1)
+    v_i = jnp.clip(v_f.astype(jnp.int32), 0, sensor_h - 1)
+    xn = (u_f - k[0, 2]) / k[0, 0]
+    yn = (v_f - k[1, 2]) / k[1, 1]
+    scale = jnp.sqrt(1.0 + xn * xn + yn * yn).astype(jnp.float32)
+    return StitchMaps(
+        sensor=maps.sensor,
+        u=jnp.where(ok, u_i, maps.u),
+        v=jnp.where(ok, v_i, maps.v),
+        scale=jnp.where(ok, scale, maps.scale),
+        valid=maps.valid,
+    )
+
+
+def _project_at_depth(maps, sphere_depth, rt_inv, k, sensor_h, sensor_w):
+    """Continuous sensor coordinates of each sphere ray placed at its
+    measured radial depth: (u_f, v_f, ok, sphere rays)."""
+    rays = camera.sphere_rays(*sphere_depth.shape)  # (H, W, 3)
+    p_rig = rays * jnp.maximum(sphere_depth, 1e-3)[..., None]
+    # per-pixel owning-sensor transform (S = 8: compute all, select by map)
+    r_inv = rt_inv[:, :3, :3]
+    t_inv = rt_inv[:, :3, 3]
+    p_all = jnp.einsum("sij,hwj->shwi", r_inv, p_rig) + t_inv[:, None, None, :]
+    # gather-free sensor selection: one-hot contraction over the 8 sensors
+    onehot = (
+        maps.sensor[None] == jnp.arange(rt_inv.shape[0])[:, None, None]
+    ).astype(p_all.dtype)
+    p = jnp.einsum("shw,shwi->hwi", onehot, p_all)  # (H, W, 3)
+    z = p[..., 2]
+    zs = jnp.where(jnp.abs(z) > 1e-9, z, 1e-9)
+    u_f = k[0, 0] * p[..., 0] / zs + k[0, 2]
+    v_f = k[1, 1] * p[..., 1] / zs + k[1, 2]
+    ok = (
+        (sphere_depth > 0)
+        & (z > 1e-6)
+        & (u_f >= 0)
+        & (u_f < sensor_w)
+        & (v_f >= 0)
+        & (v_f < sensor_h)
+    )
+    return u_f, v_f, ok, rays
+
+
+def stitch_refined(
+    maps: StitchMaps,
+    rgb: jnp.ndarray,
+    depth: jnp.ndarray,
+    rt: jnp.ndarray,
+    rt_inv: jnp.ndarray,
+    k: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Two-pass parallax-corrected stitch (beyond-reference accuracy).
+
+    Pass 1 stitches with the calibration-only maps; pass 2 re-projects each
+    sphere ray at its measured radial depth into its owning sensor and
+    gathers again, storing the EXACT rig-centered radial distance
+    |R q_s + t| of the sampled sensor point (the calibration-only form — and
+    the reference at `include/Frame360.h:1142` — stores sensor-centered ray
+    length, biased by the sensor's ~6-8 cm offset from the rig center).
+    Costs one extra (H*W)-row gather over `stitch`.
+    """
+    sensor_h, sensor_w = rgb.shape[1], rgb.shape[2]
+    _, d0 = stitch(maps, rgb, depth)
+    u_f, v_f, ok, _rays = _project_at_depth(maps, d0, rt_inv, k, sensor_h, sensor_w)
+    s = maps.sensor.astype(jnp.int32)
+    u_i = jnp.where(ok, jnp.clip(u_f.astype(jnp.int32), 0, sensor_w - 1), maps.u)
+    v_i = jnp.where(ok, jnp.clip(v_f.astype(jnp.int32), 0, sensor_h - 1), maps.v)
+    pack = jnp.concatenate(
+        [rgb.astype(jnp.float32), depth[..., None].astype(jnp.float32)], axis=-1
+    )
+    lin = (s * sensor_h + v_i) * sensor_w + u_i
+    vals = jnp.take(pack.reshape(-1, 4), lin, axis=0)  # (H', W', 4)
+    rgb_out = jnp.where(maps.valid[..., None], vals[..., :3], 0.0)
+    d = vals[..., 3]
+    # exact rig-centered radial depth of the sampled point q = d*[xn, yn, 1]
+    xn = (jnp.where(ok, u_f, maps.u.astype(jnp.float32)) - k[0, 2]) / k[0, 0]
+    yn = (jnp.where(ok, v_f, maps.v.astype(jnp.float32)) - k[1, 2]) / k[1, 1]
+    n_s = jnp.stack([xn, yn, jnp.ones_like(xn)], axis=-1)  # (H, W, 3)
+    # gather-free per-pixel extrinsic: one-hot contraction over the sensors
+    onehot = (s[None] == jnp.arange(rt.shape[0])[:, None, None]).astype(jnp.float32)
+    n_rig_all = jnp.einsum("sij,hwj->shwi", rt[:, :3, :3], n_s)
+    n_rig = jnp.einsum("shw,shwi->hwi", onehot, n_rig_all)
+    t_sel = jnp.einsum("shw,si->hwi", onehot, rt[:, :3, 3])
+    radial = jnp.sqrt(
+        d * d * jnp.sum(n_s * n_s, axis=-1)
+        + 2.0 * d * jnp.sum(n_rig * t_sel, axis=-1)
+        + jnp.sum(t_sel * t_sel, axis=-1)
+    )
+    depth_out = jnp.where(maps.valid & (d > 0), radial, 0.0)
+    return rgb_out, depth_out
+
+
 def seam_mask_from_maps(maps: StitchMaps, half_width: int = 1) -> jnp.ndarray:
     """(H, W) bool mask, True where gradients are trustworthy — i.e. away
     from sensor hand-off seams, where per-camera auto-shutter creates fake
