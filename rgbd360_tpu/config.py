@@ -202,6 +202,12 @@ class KeyframeConfig:
     max_connection_residual: float = 1.8
     min_matches_fastpath: int = 6
     min_area_fastpath: float = 12.0
+    # Beyond-reference rotation trigger: promote a keyframe once the
+    # KF-relative rotation exceeds this (rad).  The reference promotes on
+    # residual/distance only, so KF-relative rotation can grow past the
+    # odometry continuity limit (`max_rotation_odometry`) and past the
+    # range where PbMap seeds stay meaningful.
+    max_rotation_keyframes: float = 0.8
 
 
 @dataclass(frozen=True)
@@ -212,6 +218,14 @@ class LoopClosureConfig:
     min_matches: int = 5
     min_area: float = 15.0
     max_depth_residual: float = 2.0
+    # Beyond-reference photo-consistency gate: the reference accepts a loop
+    # closure on depth residual alone (`include/LoopClosure360.h:316`),
+    # which is blind to rotational aliasing in (near-)symmetric rooms —
+    # geometry repeats but texture does not.  A candidate is accepted only
+    # if its photometric residual is within this ratio of the tracker's
+    # CURRENT photometric residual (self-calibrating to the sequence's
+    # lighting/noise level).  None disables the gate.
+    max_photo_ratio: float | None = 1.3
 
 
 @dataclass(frozen=True)

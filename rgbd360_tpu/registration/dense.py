@@ -457,6 +457,44 @@ class DenseAligner:
             init_pose = jnp.eye(4)
         return self._align(src, trg, init_pose, method=method, occlusion=occlusion)
 
+    def coarse_errors(
+        self,
+        src: FramePyramid,
+        trg: FramePyramid,
+        poses: jnp.ndarray,
+        method: int = PHOTO_DEPTH,
+    ) -> jnp.ndarray:
+        """(N,) mean residual at the COARSEST pyramid level for a batch of
+        candidate poses — one cheap vmapped sweep (the coarse sphere is
+        ~120x20 px), used to rank rotation hypotheses before committing to a
+        full coarse-to-fine solve (tracker rescue after seed failure)."""
+        if not hasattr(self, "_coarse"):
+            self._coarse = jax.jit(
+                self._coarse_errors_impl, static_argnames=("method",)
+            )
+        return self._coarse(src, trg, poses, method=method)
+
+    def _coarse_errors_impl(self, src, trg, poses, method):
+        cfg = self.cfg
+        lvl = cfg.pyramid_levels - 1
+        lsrc = self._level_dicts(src, lvl)
+        ltrg = self._level_dicts(trg, lvl)
+        intr = (
+            None
+            if self.intrinsics is None
+            else scale_intrinsics(self.intrinsics, lvl)
+        )
+        trg_pack = _pack_target(ltrg)
+        pts, valid_src = _src_points(lsrc["depth"], cfg, intr)
+
+        def one(pose):
+            _, _, stats = _hess_grad_packed(
+                lsrc["gray"], pts, valid_src, trg_pack, pose, cfg, method, 0, intr
+            )
+            return stats["mean_err"]
+
+        return jax.vmap(one)(poses)
+
     # implementation
 
     def _level_dicts(self, pyr: FramePyramid, lvl: int):

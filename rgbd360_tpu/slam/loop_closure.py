@@ -93,8 +93,17 @@ class LoopCloser:
         exclude_recent: int = 2,
         max_dense_checks: int = 3,
         pyr_cache: dict | None = None,
+        ref_photo: float | None = None,
     ) -> list[LoopClosure]:
-        """Find loop closures for a (new) keyframe against the whole map."""
+        """Find loop closures for a (new) keyframe against the whole map.
+
+        `ref_photo` is the tracker's current photometric residual; when
+        given (and `lc.max_photo_ratio` is set), candidates whose verified
+        photometric residual exceeds `max_photo_ratio * ref_photo` are
+        rejected — geometry-only acceptance (the reference's
+        `avDepthResidual < 2.0`) is blind to rotational aliasing in
+        (near-)symmetric spaces, where a wrong-by-45-degrees pose fits the
+        depth perfectly but not the texture."""
         lc_cfg = self.config.lc
         n_kf = int(map360.n_kf)
         if n_kf <= exclude_recent + 1:
@@ -143,7 +152,17 @@ class LoopCloser:
                 self._aligner.align(q_pyr, kf_pyr, seed, method=D.PHOTO_DEPTH)
             )
             dres = float(res.av_depth_residual)
-            if dres < lc_cfg.max_depth_residual and not bool(res.ill_posed):
+            photo_ok = (
+                lc_cfg.max_photo_ratio is None
+                or ref_photo is None
+                or float(res.av_photo_residual)
+                < lc_cfg.max_photo_ratio * ref_photo
+            )
+            if (
+                dres < lc_cfg.max_depth_residual
+                and photo_ok
+                and not bool(res.ill_posed)
+            ):
                 out.append(
                     LoopClosure(
                         kf_from=int(k),

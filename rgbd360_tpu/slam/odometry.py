@@ -98,37 +98,91 @@ class TrackerBase:
     # in high-error local minima; well-seeded solves sit well below this).
     FALLBACK_ERROR = 3.0
 
-    def align_with_fallback(self, src_pyr, trg_pyr, seed):
-        """Dense alignment from a seed, retried from identity when the
-        seeded solve fails, violates motion continuity, or converges to a
-        high-error optimum (the reference's tracking-loss fallbacks,
-        `SLAM/SphereGraphSLAM.cpp:175-244`).  The retry is gated — the
-        common well-seeded case pays for ONE dense solve."""
+    def align_with_fallback(self, src_pyr, trg_pyr, seeds, prev_rel=None):
+        """Dense alignment tried from a priority-ordered seed chain.
+
+        `seeds` is one 4x4 seed or a list ordered best-guess first (e.g.
+        [constant-velocity prediction, PbMap pose]); identity is always the
+        last resort.  The first solve that is well-posed, motion-continuous
+        and low-error wins — the common well-seeded case pays for ONE dense
+        solve.  Otherwise every remaining seed is tried and the best good
+        result returned (the reference's tracking-loss fallbacks,
+        `SLAM/SphereGraphSLAM.cpp:175-244`; the seed chain itself is a
+        beyond-reference robustness measure).
+
+        `prev_rel` is the previous tracked frame's pose in the SAME target
+        frame; when given, motion continuity is checked on the
+        frame-to-frame STEP inv(prev_rel) @ pose — the quantity the
+        odometry limits (`include/Miscellaneous.h:69-72`) actually bound.
+        Checking the raw KF-relative pose instead silently rejects every
+        correct solve once the rig has turned more than
+        `max_rotation_odometry` away from the keyframe."""
         kf_cfg = self.config.kf
-        res = fetch(self.aligner.align(src_pyr, trg_pyr, seed, method=D.PHOTO_DEPTH))
-        good = not bool(res.ill_posed) and is_motion_continuous(
-            np.asarray(res.pose),
-            kf_cfg.max_translation_odometry,
-            kf_cfg.max_rotation_odometry,
-        )
-        seed_is_identity = isinstance(seed, jnp.ndarray) and np.allclose(
-            np.asarray(seed), np.eye(4)
-        )
-        if seed_is_identity or (good and float(res.error) < self.FALLBACK_ERROR):
-            return res
-        res_id = fetch(
-            self.aligner.align(src_pyr, trg_pyr, jnp.eye(4), method=D.PHOTO_DEPTH)
-        )
-        good_id = not bool(res_id.ill_posed) and is_motion_continuous(
-            np.asarray(res_id.pose),
-            kf_cfg.max_translation_odometry,
-            kf_cfg.max_rotation_odometry,
-        )
-        if not good:
-            return res_id
-        if good_id and float(res_id.error) < float(res.error):
-            return res_id
-        return res
+        if not isinstance(seeds, (list, tuple)):
+            seeds = [seeds]
+        inv_prev = None if prev_rel is None else np.linalg.inv(prev_rel)
+        uniq: list[np.ndarray] = []
+        for s in [*seeds, np.eye(4)]:
+            s = np.asarray(s)
+            if not any(np.allclose(s, u, atol=1e-5) for u in uniq):
+                uniq.append(s)
+        best = last = None
+        for s in uniq:
+            res = fetch(
+                self.aligner.align(
+                    src_pyr, trg_pyr, jnp.asarray(s), method=D.PHOTO_DEPTH
+                )
+            )
+            pose = np.asarray(res.pose)
+            step = pose if inv_prev is None else inv_prev @ pose
+            good = not bool(res.ill_posed) and is_motion_continuous(
+                step,
+                kf_cfg.max_translation_odometry,
+                kf_cfg.max_rotation_odometry,
+            )
+            if good and float(res.error) < self.FALLBACK_ERROR:
+                return res
+            if good and (best is None or float(res.error) < float(best.error)):
+                best = res
+            last = res
+        if self.aligner.intrinsics is None and (
+            best is None or float(best.error) >= self.FALLBACK_ERROR
+        ):
+            # Rotation rescue (beyond-reference): every seed failed, so the
+            # true rotation is outside all their basins.  On the sphere the
+            # dominant ambiguity is heading — score a yaw grid about the
+            # vertical axis with ONE vmapped coarsest-level sweep and
+            # full-align from the best two hypotheses.
+            n = 16
+            a = (2 * np.pi / n) * np.arange(n)
+            cands = np.tile(np.eye(4), (n, 1, 1))
+            c, sn = np.cos(a), np.sin(a)
+            cands[:, 1, 1] = c
+            cands[:, 1, 2] = -sn
+            cands[:, 2, 1] = sn
+            cands[:, 2, 2] = c
+            errs = np.asarray(
+                fetch(self.aligner.coarse_errors(src_pyr, trg_pyr, jnp.asarray(cands)))
+            )
+            for i in np.argsort(errs)[:2]:
+                res = fetch(
+                    self.aligner.align(
+                        src_pyr, trg_pyr, jnp.asarray(cands[i]), method=D.PHOTO_DEPTH
+                    )
+                )
+                pose = np.asarray(res.pose)
+                step = pose if inv_prev is None else inv_prev @ pose
+                good = not bool(res.ill_posed) and is_motion_continuous(
+                    step,
+                    kf_cfg.max_translation_odometry,
+                    kf_cfg.max_rotation_odometry,
+                )
+                if good and float(res.error) < self.FALLBACK_ERROR:
+                    return res
+                if good and (best is None or float(res.error) < float(best.error)):
+                    best = res
+                last = res
+        return best if best is not None else last
 
     def make_state_from_sphere(self, gray, depth, rgb=None) -> FrameState:
         """Build tracking state from a raw spherical frame (stereo-variant
@@ -157,6 +211,8 @@ class FrameToFrameOdometry(TrackerBase):
         self.pose = np.eye(4)
         self.trajectory: list[np.ndarray] = []
         self.stats: list[dict] = []
+        # constant-velocity motion model: last accepted frame-to-frame step
+        self.last_step = np.eye(4)
 
     def process(self, raw) -> dict:
         return self.process_state(self.make_state(raw))
@@ -169,10 +225,13 @@ class FrameToFrameOdometry(TrackerBase):
             info["keyframe"] = True
             return info
 
-        # PbMap seed (reference OdometryRGBD360.cpp:205 then dense :251)
+        # seed chain: constant-velocity prediction, then PbMap pose
+        # (reference OdometryRGBD360.cpp:205 then dense :251)
         pb = self.plane_reg.register(self.prev.planes, state.planes, mode=PLANAR_3DOF)
-        seed = jnp.asarray(pb.pose) if bool(pb.success) else jnp.eye(4)
-        res = fetch(self.align_with_fallback(state.pyramid, self.prev.pyramid, seed))
+        seeds = [self.last_step]
+        if bool(pb.success):
+            seeds.append(np.asarray(pb.pose))
+        res = fetch(self.align_with_fallback(state.pyramid, self.prev.pyramid, seeds))
         rel = np.asarray(res.pose)  # T_prev<-new
         kf_cfg = self.config.kf
         ok = (
@@ -183,6 +242,7 @@ class FrameToFrameOdometry(TrackerBase):
         )
         if ok:
             self.pose = self.pose @ rel
+            self.last_step = rel.copy()
         info.update(
             tracked=ok,
             rel=rel,
@@ -220,6 +280,19 @@ class KeyframeSLAM(TrackerBase):
         self.lost = False
         self.n_loop_closures = 0
         self.events: list[dict] = []
+        # constant-velocity motion model (beyond-reference): pose of the
+        # last tracked frame relative to the current KF, and the last
+        # accepted frame-to-frame step — their composition predicts the next
+        # frame's T_kf<-new, keeping dense tracking convergent under motion
+        # far larger than an identity/PbMap seed can absorb
+        self.track_rel: np.ndarray | None = None
+        self.last_step = np.eye(4)
+        # last well-tracked frame (state + rel/hessian/sso/dres), retained
+        # as the keyframe-promotion candidate
+        self._last_frame: dict | None = None
+        # running photometric residual of accepted tracking solves — the
+        # self-calibrating reference level for the LC photo gate
+        self._ref_photo: float | None = None
 
     # ------------------------------------------------------------ helpers
 
@@ -234,6 +307,11 @@ class KeyframeSLAM(TrackerBase):
         self.current_kf = k
         self.kf_state = state
         self._kf_pyr_cache[k] = state.pyramid
+        # the new KF IS the last tracked frame; the frame-to-frame step of
+        # the motion model remains valid across the reference switch
+        self.track_rel = np.eye(4)
+        # any retained promotion candidate was relative to the old KF
+        self._last_frame = None
         return k
 
     # --------------------------------------------------- checkpoint/resume
@@ -259,6 +337,10 @@ class KeyframeSLAM(TrackerBase):
             trajectory=np.stack(self.trajectory) if self.trajectory else np.zeros((0, 4, 4)),
             lost=np.bool_(self.lost),
             n_loop_closures=np.int64(self.n_loop_closures),
+            track_rel=(
+                self.track_rel if self.track_rel is not None else np.full((4, 4), np.nan)
+            ),
+            last_step=self.last_step,
         )
 
     def resume_from_checkpoint(self, path: str) -> None:
@@ -280,6 +362,12 @@ class KeyframeSLAM(TrackerBase):
         self.n_loop_closures = int(data["n_loop_closures"])
         self.kf_state = None  # pyramids rebuilt lazily from the map payload
         self._kf_pyr_cache = {}
+        if "track_rel" in data:
+            tr = np.asarray(data["track_rel"])
+            self.track_rel = None if np.isnan(tr).any() else tr
+            self.last_step = np.asarray(data["last_step"])
+        else:
+            self.track_rel, self.last_step = None, np.eye(4)
 
     def _optimize(self):
         g = self.config.graph
@@ -319,6 +407,8 @@ class KeyframeSLAM(TrackerBase):
             self.kf_state = None  # pyramid of that KF rebuilt below
             self.pose = np.asarray(self.map.opt_poses[r.kf]) @ r.pose
             self.lost = False
+            self.track_rel = np.asarray(r.pose)
+            self.last_step = np.eye(4)
 
         # reference keyframe pyramids (cached; rebuilt from the map payload
         # only after relocalization to an old keyframe)
@@ -338,36 +428,142 @@ class KeyframeSLAM(TrackerBase):
             pb = self.plane_reg.register(kf_planes, state.planes, mode=PLANAR_3DOF)
         kf_pose = np.asarray(self.map.opt_poses[self.current_kf])
 
-        # dense tracking: T_kf<-new (reference :370-373)
-        seed = jnp.asarray(pb.pose) if bool(pb.success) else jnp.eye(4)
+        # dense tracking: T_kf<-new (reference :370-373); seed chain =
+        # constant-velocity prediction, then the PbMap pose
+        seeds = []
+        if self.track_rel is not None:
+            seeds.append(self.track_rel @ self.last_step)
+        if bool(pb.success):
+            seeds.append(np.asarray(pb.pose))
         with self.timer.region("register_dense"):
-            res = fetch(self.align_with_fallback(state.pyramid, kf_pyr, seed))
+            res = fetch(
+                self.align_with_fallback(
+                    state.pyramid, kf_pyr, seeds, prev_rel=self.track_rel
+                )
+            )
         rel = np.asarray(res.pose)
         depth_res = float(res.av_depth_residual)
         ev["av_depth_residual"] = depth_res
         ev["pb_matches"] = int(pb.n_matches)
 
+        step = rel if self.track_rel is None else np.linalg.inv(self.track_rel) @ rel
         continuous = is_motion_continuous(
-            rel, kf_cfg.max_translation_odometry, kf_cfg.max_rotation_odometry
+            step, kf_cfg.max_translation_odometry, kf_cfg.max_rotation_odometry
         )
         if bool(res.ill_posed) or not continuous:
             self.lost = True
             ev["lost"] = True
+            self.track_rel = None
+            self.last_step = np.eye(4)
+            self._last_frame = None
             self.trajectory.append(self.pose.copy())
             self.events.append(ev)
             return ev
 
         self.pose = kf_pose @ rel
+        if self.track_rel is not None:
+            self.last_step = np.linalg.inv(self.track_rel) @ rel
+        self.track_rel = rel.copy()
+        self._ref_photo = float(res.av_photo_residual)
 
         # keyframe decision (reference :388-396 — keep tracking while the
-        # depth residual stays low and we're close to the KF)
-        small_motion = float(np.linalg.norm(rel[:3, 3])) < kf_cfg.min_dist_keyframes
-        if depth_res < kf_cfg.select_kf_icp_dist or small_motion:
+        # depth residual stays low and we're close to the KF; plus the
+        # beyond-reference rotation trigger, `KeyframeConfig.
+        # max_rotation_keyframes`)
+        small_motion = (
+            float(np.linalg.norm(rel[:3, 3])) < kf_cfg.min_dist_keyframes
+            and float(np.asarray(se3.rotation_angle(jnp.asarray(rel[:3, :3]))))
+            < kf_cfg.max_rotation_keyframes
+        )
+        big_rotation = (
+            float(np.asarray(se3.rotation_angle(jnp.asarray(rel[:3, :3]))))
+            >= kf_cfg.max_rotation_keyframes
+        )
+        if (depth_res < kf_cfg.select_kf_icp_dist and not big_rotation) or small_motion:
+            if depth_res < kf_cfg.select_kf_icp_dist:
+                # retained as the keyframe-promotion candidate: the last
+                # frame whose alignment against the current KF was healthy
+                self._last_frame = {
+                    "state": state,
+                    "rel": rel,
+                    "hessian": np.asarray(res.hessian),
+                    "sso": float(res.sso),
+                    "dres": depth_res,
+                }
             self.trajectory.append(self.pose.copy())
             self.events.append(ev)
             return ev
 
-        # ---- promote to keyframe (reference :516-633)
+        # ---- keyframe promotion (reference :516-633).  The tracked
+        # residual crossed the threshold, i.e. the CURRENT alignment is
+        # already degraded — so (beyond-reference; standard local-mapping
+        # practice) promote the LAST well-tracked frame as the keyframe and
+        # re-track this frame against it: every KF enters the map at a pose
+        # measured by a healthy solve, instead of freezing in the first bad
+        # one (the reference promotes the degraded frame itself).
+        lf = self._last_frame
+        if (
+            lf is not None
+            and float(np.linalg.norm(lf["rel"][:3, 3])) >= kf_cfg.min_dist_keyframes
+        ):
+            prev_kf = self.current_kf
+            k = self._add_keyframe(lf["state"], kf_pose @ lf["rel"])
+            ev["keyframe"] = True
+            self.map = self.map.add_edge(
+                prev_kf,
+                k,
+                jnp.asarray(lf["rel"]),
+                jnp.asarray(lf["hessian"]),
+                sso=lf["sso"],
+            )
+            self._post_keyframe(lf["state"], k, ev)
+            # re-track the current frame against the new KF, seeded by the
+            # current estimate mapped into the new KF's frame
+            kf_pose = np.asarray(self.map.opt_poses[k])
+            seed = np.linalg.inv(lf["rel"]) @ rel
+            with self.timer.region("register_dense"):
+                res = fetch(
+                    self.align_with_fallback(
+                        state.pyramid, lf["state"].pyramid, [seed], prev_rel=seed
+                    )
+                )
+            rel = np.asarray(res.pose)
+            depth_res = float(res.av_depth_residual)
+            ev["av_depth_residual"] = depth_res
+            rstep = np.linalg.inv(seed) @ rel
+            ok = not bool(res.ill_posed) and is_motion_continuous(
+                rstep, kf_cfg.max_translation_odometry, kf_cfg.max_rotation_odometry
+            )
+            if not ok:
+                self.lost = True
+                ev["lost"] = True
+                self.track_rel = None
+                self.last_step = np.eye(4)
+                self.trajectory.append(self.pose.copy())
+                self.events.append(ev)
+                return ev
+            self.pose = kf_pose @ rel
+            self.track_rel = rel.copy()  # frame-to-frame step unchanged
+            self._ref_photo = float(res.av_photo_residual)
+            if (
+                depth_res < kf_cfg.select_kf_icp_dist
+                or float(np.linalg.norm(rel[:3, 3])) < kf_cfg.min_dist_keyframes
+            ):
+                if depth_res < kf_cfg.select_kf_icp_dist:
+                    self._last_frame = {
+                        "state": state,
+                        "rel": rel,
+                        "hessian": np.asarray(res.hessian),
+                        "sso": float(res.sso),
+                        "dres": depth_res,
+                    }
+                self.trajectory.append(self.pose.copy())
+                self.events.append(ev)
+                return ev
+            # still beyond the threshold even against the fresh KF: fall
+            # through and promote the current frame too
+            pb = None
+
         prev_kf = self.current_kf
         k = self._add_keyframe(state, self.pose)
         ev["keyframe"] = True
@@ -380,7 +576,7 @@ class KeyframeSLAM(TrackerBase):
             sso=float(res.sso),
         )
         # consistent PbMap edge adds an extra constraint (reference :547-554)
-        if bool(pb.success):
+        if pb is not None and bool(pb.success):
             dpb = np.asarray(pb.pose)
             dt = np.linalg.norm(dpb[:3, 3] - rel[:3, 3])
             dr = float(
@@ -397,22 +593,42 @@ class KeyframeSLAM(TrackerBase):
                     sso=float(res.sso),
                 )
 
+        if self._post_keyframe(state, k, ev):
+            self.pose = np.asarray(self.map.opt_poses[k])
+        self.trajectory.append(self.pose.copy())
+        self.events.append(ev)
+        return ev
+
+    def _post_keyframe(self, state: FrameState, k: int, ev: dict) -> bool:
+        """Per-new-keyframe map work: neighbor connections, loop-closure
+        search, pose-graph optimization, topological partitioning.  Returns
+        True when optimization ran (the caller refreshes poses read from the
+        map afterwards)."""
+        kf_cfg = self.config.kf
+        kf_pose = np.asarray(self.map.opt_poses[k])
         # neighbor-keyframe connections: dense-align against other nearby
         # KFs and add extra edges (reference KFsphere_SLAM.cpp:405-461,
         # vConnections with residual < 1.8)
         n_kf_now = int(self.map.n_kf)
         centers = np.asarray(self.map.opt_poses[:n_kf_now, :3, 3])
-        dist = np.linalg.norm(centers - self.pose[:3, 3], axis=1)
+        dist = np.linalg.norm(centers - kf_pose[:3, 3], axis=1)
+        graph_edges = {
+            (int(a), int(b))
+            for a, b in np.asarray(self.map.graph.edges_ij[: int(self.map.n_edges)])
+        }
         near = [
             kf
             for kf in range(n_kf_now)
-            if kf not in (prev_kf, k) and dist[kf] < kf_cfg.connection_radius
+            if kf != k
+            and (kf, k) not in graph_edges
+            and (k, kf) not in graph_edges
+            and dist[kf] < kf_cfg.connection_radius
         ]
         n_connections = 0
         for kf in near[:3]:  # bound per-frame work like the area gating does
             kf_pyr2 = self.loop_closer.kf_pyramid(self.map, kf, self._kf_pyr_cache)
             seed2 = jnp.asarray(
-                np.linalg.inv(np.asarray(self.map.opt_poses[kf])) @ self.pose
+                np.linalg.inv(np.asarray(self.map.opt_poses[kf])) @ kf_pose
             )
             res2 = fetch(
                 self.aligner.align(state.pyramid, kf_pyr2, seed2, method=D.PHOTO_DEPTH)
@@ -429,7 +645,7 @@ class KeyframeSLAM(TrackerBase):
                     sso=float(res2.sso),
                 )
                 n_connections += 1
-        ev["connections"] = n_connections
+        ev["connections"] = ev.get("connections", 0) + n_connections
 
         # loop closures for the new keyframe
         with self.timer.region("loop_closure"):
@@ -438,9 +654,10 @@ class KeyframeSLAM(TrackerBase):
                 state.planes,
                 state.sphere.sphere_gray,
                 state.sphere.sphere_depth,
-                jnp.asarray(self.pose),
+                jnp.asarray(kf_pose),
                 k,
                 pyr_cache=self._kf_pyr_cache,
+                ref_photo=self._ref_photo,
             )
         for lc in lcs:
             self.map = self.map.add_edge(
@@ -451,14 +668,14 @@ class KeyframeSLAM(TrackerBase):
                 sso=lc.sso,
                 is_loop=True,
             )
-        ev["loop_closures"] = len(lcs)
+        ev["loop_closures"] = ev.get("loop_closures", 0) + len(lcs)
         self.n_loop_closures += len(lcs)
 
         # optimize whenever the graph gained a non-odometry constraint
-        if lcs or n_connections:
+        optimized = bool(lcs or n_connections)
+        if optimized:
             chi2, iters = self._optimize()
             ev["chi2"] = chi2
-            self.pose = np.asarray(self.map.opt_poses[k])
 
         # topological partitioning every 4 KFs (reference :710-717)
         if int(self.map.n_kf) % self.config.map.partition_every_n_kf == 0:
@@ -473,7 +690,4 @@ class KeyframeSLAM(TrackerBase):
                 area=jnp.asarray(area),
                 n_areas=jnp.int32(n_areas),
             )
-
-        self.trajectory.append(self.pose.copy())
-        self.events.append(ev)
-        return ev
+        return optimized

@@ -54,8 +54,11 @@ def test_synth_motion_recovered_end_to_end(tmp_path):
     from rgbd360_tpu.apps import grabber, odometry
 
     d = tmp_path / "synth"
+    # octagon room: ten real planes constrain all 6 dof (the cylinder's
+    # axially-symmetric depth leaves shallow optima that scatter by seed)
     grabber.main(
-        ["synth", str(d), "--frames", "4", "--calib", "/root/reference/Calibration"]
+        ["synth", str(d), "--frames", "4",
+         "--calib", "/root/reference/Calibration", "--room", "octagon"]
     )
     traj = odometry.main([str(d), "--no-intrinsics"])
     steps = np.diff(np.stack(traj)[:, 0, 3])

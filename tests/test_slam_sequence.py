@@ -164,3 +164,51 @@ def test_keyframe_slam_ate(seq):
     n_kf = int(slam.map.n_kf)
     assert n_kf >= 2, n_kf
     assert ate < 0.08, f"ATE {ate:.3f} m with {n_kf} keyframes"
+
+
+def test_octagon_loop_raw_pipeline_ate(calibration, tmp_path):
+    """Full-stack integration on RAW synthetic rig captures: a closed loop
+    inside an octagonal room (`apps/grabber.py synth --trajectory loop
+    --room octagon`) through the complete pipeline — bin round-trip, stitch,
+    plane segmentation, PbMap seeding, motion-model dense tracking,
+    rotation-triggered keyframe promotion, neighbor connections, pose-graph
+    optimization.  Guards the step-based motion-continuity semantics (a
+    KF-relative rotation past `max_rotation_odometry` must NOT be rejected)
+    and the constant-velocity seed chain: with either broken, this loop's
+    ATE blows past 1.5 m."""
+    from dataclasses import replace
+
+    from rgbd360_tpu.apps.grabber import synth_capture, synth_trajectory_poses
+    from rgbd360_tpu.config import default_config
+    from rgbd360_tpu.io.bin_format import write_rig_frame
+    from rgbd360_tpu.io.calib import load_calibration
+    from rgbd360_tpu.io.dataset import SequenceDataset
+    from rgbd360_tpu.slam.odometry import KeyframeSLAM
+
+    # extrinsics only: CLAMS models describe real-device distortion and
+    # would corrupt the exact synthetic depth
+    calib = load_calibration("/root/reference/Calibration/Extrinsics", None)
+    rt = np.asarray(calib.rt, np.float64)
+    n = 16
+    gt = synth_trajectory_poses("loop", n, radius=0.8)
+    for i in range(n):
+        raw = synth_capture(i, rt=rt, pose=gt[i], room="octagon")
+        write_rig_frame(tmp_path / f"sphere_images_{i + 1}.bin", raw)
+
+    cfg = default_config()
+    from rgbd360_tpu.core.frame import FrameBuilder
+
+    builder = FrameBuilder(calib, cfg)
+    slam = KeyframeSLAM(builder, cfg)
+    ds = SequenceDataset(tmp_path)
+    for i in range(len(ds)):
+        slam.process(ds[i])
+
+    est = np.stack(slam.trajectory)
+    ate = ate_rmse(est, gt)
+    from rgbd360_tpu.utils.metrics import rpe
+
+    rpe_t, rpe_r = rpe(est, gt)
+    assert int(slam.map.n_kf) >= 4, int(slam.map.n_kf)
+    assert ate < 0.15, f"ATE {ate:.3f} m around the octagon loop"
+    assert rpe_r < 0.05, f"RPE rot {rpe_r:.3f} rad"
