@@ -24,7 +24,10 @@ import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
-_BINOMIAL5 = jnp.array([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
+# numpy, not jnp: a module-level device array would initialize the XLA
+# backend at import time, which breaks jax.distributed bring-up on
+# multi-host jobs (initialize() must run before any backend init)
+_BINOMIAL5 = np.array([1.0, 4.0, 6.0, 4.0, 1.0], np.float32) / 16.0
 _HI = lax.Precision.HIGHEST
 
 

@@ -47,8 +47,10 @@ def initialize(
     discovers the slice topology on Cloud TPU).  Calling this in a
     single-process run is a no-op.
     """
-    if jax.process_count() > 1:
-        return True  # already initialized
+    # NOTE: do NOT probe jax.process_count() here — it initializes the local
+    # backend, after which jax.distributed.initialize refuses to run.
+    if jax.distributed.is_initialized():
+        return True
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS"
     )

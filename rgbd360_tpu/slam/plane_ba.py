@@ -46,6 +46,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from rgbd360_tpu.ops import se3
 
@@ -89,8 +90,10 @@ def _residual(xi, dpi, pose, plane, obs):
     return predict_plane(t_new, plane + dpi) - obs
 
 
-_zero6 = jnp.zeros(6)
-_zero4 = jnp.zeros(4)
+# numpy, not jnp: module-level device arrays would initialize the XLA
+# backend at import, breaking multi-host jax.distributed bring-up
+_zero6 = np.zeros(6, np.float32)
+_zero4 = np.zeros(4, np.float32)
 
 
 def _obs_terms(poses, planes, prob):
