@@ -104,10 +104,16 @@ def synth_capture(
         axial = hit[..., 0]
         azim = np.arctan2(hit[..., 1], hit[..., 2])
         depth[s] = np.clip(z * 1000, 0, 65535).astype(np.uint16)
+        # incommensurate frequencies: a texture periodic in azimuth (e.g.
+        # sin(4*azim) alone) photometrically near-aliases under yaw, which
+        # breaks salient/dense tracking on rotating trajectories in ways no
+        # real scene does
         tex = (
             128
-            + 70 * np.sin(4 * azim) * np.cos(5.0 * axial)
-            + 45 * np.sin(11 * azim + 2.0 * axial)
+            + 55 * np.sin(4 * azim) * np.cos(5.0 * axial)
+            + 35 * np.sin(11 * azim + 2.0 * axial)
+            + 30 * np.sin(7.31 * azim - 3.17 * axial + 1.7)
+            + 20 * np.cos(13.73 * azim + 5.91 * axial)
         )
         tex = np.clip(tex + rng.normal(0, 2, tex.shape), 0, 255).astype(np.uint8)
         rgb[s] = np.stack(

@@ -226,6 +226,11 @@ class LoopClosureConfig:
     # CURRENT photometric residual (self-calibrating to the sequence's
     # lighting/noise level).  None disables the gate.
     max_photo_ratio: float | None = 1.3
+    # Absolute floor for the photo gate threshold: on ultra-clean sequences
+    # the tracker's residual can be near zero, and a pure ratio would then
+    # reject every genuine wide-baseline closure (which carries resampling/
+    # occlusion residual of its own).  Threshold = max(ratio * ref, floor).
+    photo_gate_floor: float = 2.0
 
 
 @dataclass(frozen=True)

@@ -59,6 +59,15 @@ def initialize(
     if process_id is None and os.environ.get("JAX_PROCESS_ID"):
         process_id = int(os.environ["JAX_PROCESS_ID"])
     if coordinator_address is None and num_processes is None:
+        # TPU-pod / cluster auto-detection: argless initialize discovers the
+        # slice topology (Cloud TPU metadata, SLURM, k8s).  Outside any
+        # cluster it raises — single-process mode.  Probing
+        # jax.process_count() here instead would initialize the local
+        # backend and permanently break a later bring-up.
+        try:
+            jax.distributed.initialize()
+        except Exception:
+            return False
         return jax.process_count() > 1
     try:
         jax.distributed.initialize(

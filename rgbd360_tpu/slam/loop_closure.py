@@ -156,7 +156,7 @@ class LoopCloser:
                 lc_cfg.max_photo_ratio is None
                 or ref_photo is None
                 or float(res.av_photo_residual)
-                < lc_cfg.max_photo_ratio * ref_photo
+                < max(lc_cfg.max_photo_ratio * ref_photo, lc_cfg.photo_gate_floor)
             )
             if (
                 dres < lc_cfg.max_depth_residual

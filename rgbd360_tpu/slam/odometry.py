@@ -21,6 +21,7 @@ Drivers:
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass
 
 import jax
@@ -74,6 +75,16 @@ class TrackerBase:
         self.config = config or builder.config
         self.builder = builder
         self.aligner = D.DenseAligner(self.config.dense)
+        # salient tracking is a throughput configuration; hard frames
+        # (large motion, weak texture) fall back to full dense sweeps so
+        # robustness never depends on the thinning budget
+        self.aligner_full = (
+            D.DenseAligner(
+                dataclasses.replace(self.config.dense, salient_pixels=0)
+            )
+            if self.config.dense.salient_pixels > 0
+            else None
+        )
         self.plane_reg = PlaneRegistration(self.config.matcher)
         seam = stitch_ops.seam_mask_from_maps(builder.maps, 1)
         seam_levels = D.seam_masks_per_level(seam, self.config.dense.pyramid_levels)
@@ -121,15 +132,21 @@ class TrackerBase:
         if not isinstance(seeds, (list, tuple)):
             seeds = [seeds]
         inv_prev = None if prev_rel is None else np.linalg.inv(prev_rel)
-        uniq: list[np.ndarray] = []
-        for s in [*seeds, np.eye(4)]:
+        tried: list[np.ndarray] = []
+
+        def novel(s):
             s = np.asarray(s)
-            if not any(np.allclose(s, u, atol=1e-5) for u in uniq):
-                uniq.append(s)
+            if any(np.allclose(s, u, atol=1e-5) for u in tried):
+                return None
+            tried.append(s)
+            return s
+
         best = last = None
-        for s in uniq:
+
+        def solve(s, aligner=None):
+            nonlocal best, last
             res = fetch(
-                self.aligner.align(
+                (aligner or self.aligner).align(
                     src_pyr, trg_pyr, jnp.asarray(s), method=D.PHOTO_DEPTH
                 )
             )
@@ -140,19 +157,22 @@ class TrackerBase:
                 kf_cfg.max_translation_odometry,
                 kf_cfg.max_rotation_odometry,
             )
-            if good and float(res.error) < self.FALLBACK_ERROR:
-                return res
+            accepted = good and float(res.error) < self.FALLBACK_ERROR
             if good and (best is None or float(res.error) < float(best.error)):
                 best = res
             last = res
-        if self.aligner.intrinsics is None and (
-            best is None or float(best.error) >= self.FALLBACK_ERROR
-        ):
+            return accepted
+
+        for s in [*seeds, np.eye(4)]:
+            s = novel(s)
+            if s is not None and solve(s):
+                return best
+        if self.aligner.intrinsics is None:
             # Rotation rescue (beyond-reference): every seed failed, so the
             # true rotation is outside all their basins.  On the sphere the
             # dominant ambiguity is heading — score a yaw grid about the
             # vertical axis with ONE vmapped coarsest-level sweep and
-            # full-align from the best two hypotheses.
+            # full-align from the best two hypotheses not already tried.
             n = 16
             a = (2 * np.pi / n) * np.arange(n)
             cands = np.tile(np.eye(4), (n, 1, 1))
@@ -164,24 +184,42 @@ class TrackerBase:
             errs = np.asarray(
                 fetch(self.aligner.coarse_errors(src_pyr, trg_pyr, jnp.asarray(cands)))
             )
-            for i in np.argsort(errs)[:2]:
-                res = fetch(
-                    self.aligner.align(
-                        src_pyr, trg_pyr, jnp.asarray(cands[i]), method=D.PHOTO_DEPTH
-                    )
-                )
-                pose = np.asarray(res.pose)
-                step = pose if inv_prev is None else inv_prev @ pose
-                good = not bool(res.ill_posed) and is_motion_continuous(
-                    step,
-                    kf_cfg.max_translation_odometry,
-                    kf_cfg.max_rotation_odometry,
-                )
-                if good and float(res.error) < self.FALLBACK_ERROR:
-                    return res
-                if good and (best is None or float(res.error) < float(best.error)):
-                    best = res
-                last = res
+            tries = 0
+            for i in np.argsort(errs):
+                if tries >= 2:
+                    break
+                s = novel(cands[i])
+                if s is None:
+                    continue
+                tries += 1
+                if solve(s):
+                    return best
+        if self.aligner_full is not None and (
+            best is None
+            or float(best.av_depth_residual)
+            >= self.config.kf.select_kf_icp_dist
+        ):
+            # Degraded-salient fallback: the thinned sweeps either failed or
+            # converged to a high-depth-residual optimum — re-solve with
+            # FULL dense sweeps (seeded by the salient pose first) so
+            # robustness never depends on the thinning budget.  Only hard
+            # frames pay for this.
+            sal_best, sal_last = best, last
+            best = last = None
+            tried.clear()
+            retry = [np.asarray(sal_best.pose)] if sal_best is not None else []
+            for s in [*retry, *seeds, np.eye(4)]:
+                s = novel(s)
+                if s is not None and solve(s, self.aligner_full):
+                    return best
+            if best is not None and (
+                sal_best is None
+                or float(best.av_depth_residual)
+                < float(sal_best.av_depth_residual)
+            ):
+                return best
+            best = sal_best if sal_best is not None else best
+            last = sal_last if sal_last is not None else last
         return best if best is not None else last
 
     def make_state_from_sphere(self, gray, depth, rgb=None) -> FrameState:
@@ -369,6 +407,31 @@ class KeyframeSLAM(TrackerBase):
         else:
             self.track_rel, self.last_step = None, np.eye(4)
 
+    def _keep_tracking(self, state: FrameState, rel, res, depth_res: float) -> bool:
+        """Keyframe decision (reference `KFsphere_SLAM.cpp:388-396` plus the
+        beyond-reference rotation trigger): True when the frame stays a
+        tracked, non-keyframe frame.  Healthy frames are retained as the
+        last-good promotion candidate and refresh the LC photo-gate
+        reference level (degraded solves must NOT loosen that gate)."""
+        kf_cfg = self.config.kf
+        ang = float(np.asarray(se3.rotation_angle(jnp.asarray(rel[:3, :3]))))
+        healthy = depth_res < kf_cfg.select_kf_icp_dist
+        small_rot = ang < kf_cfg.max_rotation_keyframes
+        small_motion = (
+            float(np.linalg.norm(rel[:3, 3])) < kf_cfg.min_dist_keyframes
+            and small_rot
+        )
+        if healthy:
+            self._last_frame = {
+                "state": state,
+                "rel": rel,
+                "hessian": np.asarray(res.hessian),
+                "sso": float(res.sso),
+                "dres": depth_res,
+            }
+            self._ref_photo = float(res.av_photo_residual)
+        return (healthy and small_rot) or small_motion
+
     def _optimize(self):
         g = self.config.graph
         loop_mask = self.map.edge_is_lc if g.robust_lc else None
@@ -464,32 +527,8 @@ class KeyframeSLAM(TrackerBase):
         if self.track_rel is not None:
             self.last_step = np.linalg.inv(self.track_rel) @ rel
         self.track_rel = rel.copy()
-        self._ref_photo = float(res.av_photo_residual)
 
-        # keyframe decision (reference :388-396 — keep tracking while the
-        # depth residual stays low and we're close to the KF; plus the
-        # beyond-reference rotation trigger, `KeyframeConfig.
-        # max_rotation_keyframes`)
-        small_motion = (
-            float(np.linalg.norm(rel[:3, 3])) < kf_cfg.min_dist_keyframes
-            and float(np.asarray(se3.rotation_angle(jnp.asarray(rel[:3, :3]))))
-            < kf_cfg.max_rotation_keyframes
-        )
-        big_rotation = (
-            float(np.asarray(se3.rotation_angle(jnp.asarray(rel[:3, :3]))))
-            >= kf_cfg.max_rotation_keyframes
-        )
-        if (depth_res < kf_cfg.select_kf_icp_dist and not big_rotation) or small_motion:
-            if depth_res < kf_cfg.select_kf_icp_dist:
-                # retained as the keyframe-promotion candidate: the last
-                # frame whose alignment against the current KF was healthy
-                self._last_frame = {
-                    "state": state,
-                    "rel": rel,
-                    "hessian": np.asarray(res.hessian),
-                    "sso": float(res.sso),
-                    "dres": depth_res,
-                }
+        if self._keep_tracking(state, rel, res, depth_res):
             self.trajectory.append(self.pose.copy())
             self.events.append(ev)
             return ev
@@ -517,6 +556,14 @@ class KeyframeSLAM(TrackerBase):
                 sso=lf["sso"],
             )
             self._post_keyframe(lf["state"], k, ev)
+            if lf["state"] is state:
+                # the current frame itself was the healthy candidate
+                # (rotation-triggered promotion): it IS the new keyframe
+                self.pose = np.asarray(self.map.opt_poses[k])
+                self.track_rel = np.eye(4)
+                self.trajectory.append(self.pose.copy())
+                self.events.append(ev)
+                return ev
             # re-track the current frame against the new KF, seeded by the
             # current estimate mapped into the new KF's frame
             kf_pose = np.asarray(self.map.opt_poses[k])
@@ -539,24 +586,17 @@ class KeyframeSLAM(TrackerBase):
                 ev["lost"] = True
                 self.track_rel = None
                 self.last_step = np.eye(4)
+                self._last_frame = None
+                # optimization inside _post_keyframe may have shifted the
+                # map; sample this frame's trajectory entry in the SAME
+                # (optimized) frame as its neighbors
+                self.pose = kf_pose @ seed
                 self.trajectory.append(self.pose.copy())
                 self.events.append(ev)
                 return ev
             self.pose = kf_pose @ rel
             self.track_rel = rel.copy()  # frame-to-frame step unchanged
-            self._ref_photo = float(res.av_photo_residual)
-            if (
-                depth_res < kf_cfg.select_kf_icp_dist
-                or float(np.linalg.norm(rel[:3, 3])) < kf_cfg.min_dist_keyframes
-            ):
-                if depth_res < kf_cfg.select_kf_icp_dist:
-                    self._last_frame = {
-                        "state": state,
-                        "rel": rel,
-                        "hessian": np.asarray(res.hessian),
-                        "sso": float(res.sso),
-                        "dres": depth_res,
-                    }
+            if self._keep_tracking(state, rel, res, depth_res):
                 self.trajectory.append(self.pose.copy())
                 self.events.append(ev)
                 return ev

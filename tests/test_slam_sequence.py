@@ -176,8 +176,6 @@ def test_octagon_loop_raw_pipeline_ate(calibration, tmp_path):
     KF-relative rotation past `max_rotation_odometry` must NOT be rejected)
     and the constant-velocity seed chain: with either broken, this loop's
     ATE blows past 1.5 m."""
-    from dataclasses import replace
-
     from rgbd360_tpu.apps.grabber import synth_capture, synth_trajectory_poses
     from rgbd360_tpu.config import default_config
     from rgbd360_tpu.io.bin_format import write_rig_frame
