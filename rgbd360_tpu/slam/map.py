@@ -96,6 +96,54 @@ class Map360:
 
     # ------------------------------------------------------------ updates
 
+    def grow(
+        self, kf_capacity: int | None = None, edge_capacity: int | None = None
+    ) -> "Map360":
+        """Copy with enlarged fixed capacities (defaults: double each).
+
+        SURVEY section 7's dynamic-map-growth mitigation: capacities bump
+        geometrically, so downstream jitted programs re-compile once per
+        bump — never per frame.  Contents are preserved; new slots are the
+        same inert padding `empty` produces."""
+        n_old = self.poses.shape[0]
+        e_old = self.graph.edges_ij.shape[0]
+        n = max(kf_capacity or 2 * n_old, n_old)
+        e = max(edge_capacity or 2 * e_old, e_old)
+        if n == n_old and e == e_old:
+            return self
+        h, w = self.gray.shape[1:]
+        fresh = Map360.empty(
+            MapConfig(max_keyframes=n, max_edges=e),
+            h,
+            w,
+            self.planes.d.shape[1],
+            self.planes.hull.shape[2],
+        )
+        pre = lambda new, old: new.at[: old.shape[0]].set(old.astype(new.dtype))
+        return replace(
+            fresh,
+            n_kf=self.n_kf,
+            poses=pre(fresh.poses, self.poses),
+            opt_poses=pre(fresh.opt_poses, self.opt_poses),
+            gray=pre(fresh.gray, self.gray),
+            depth=pre(fresh.depth, self.depth),
+            planes=jax.tree_util.tree_map(pre, fresh.planes, self.planes),
+            graph=replace(
+                fresh.graph,
+                poses=pre(fresh.graph.poses, self.graph.poses),
+                vmask=pre(fresh.graph.vmask, self.graph.vmask),
+                edges_ij=pre(fresh.graph.edges_ij, self.graph.edges_ij),
+                rel=pre(fresh.graph.rel, self.graph.rel),
+                info=pre(fresh.graph.info, self.graph.info),
+                emask=pre(fresh.graph.emask, self.graph.emask),
+            ),
+            n_edges=self.n_edges,
+            edge_is_lc=pre(fresh.edge_is_lc, self.edge_is_lc),
+            sso=fresh.sso.at[: n_old, : n_old].set(self.sso),
+            area=pre(fresh.area, self.area),
+            n_areas=self.n_areas,
+        )
+
     def add_keyframe(
         self,
         pose: jnp.ndarray,
@@ -106,13 +154,10 @@ class Map360:
     ) -> "Map360":
         """Append a keyframe (reference `Map360::addKeyframe:90`).
 
-        Raises when the fixed capacity is exhausted (a silent JAX
-        out-of-bounds scatter would otherwise drop the update)."""
+        Auto-grows (doubles) the fixed capacity when exhausted — a silent
+        JAX out-of-bounds scatter would otherwise drop the update."""
         if int(self.n_kf) >= self.poses.shape[0]:
-            raise RuntimeError(
-                f"Map360 keyframe capacity ({self.poses.shape[0]}) exhausted; "
-                "grow MapConfig.max_keyframes"
-            )
+            self = self.grow(kf_capacity=2 * self.poses.shape[0])
         k = self.n_kf
         if area_id is None:
             area_id = jnp.int32(0)
@@ -150,10 +195,8 @@ class Map360:
         is_loop marks loop-closure edges for robust (DCS) treatment.
         """
         if int(self.n_edges) >= self.graph.edges_ij.shape[0]:
-            raise RuntimeError(
-                f"Map360 edge capacity ({self.graph.edges_ij.shape[0]}) "
-                "exhausted; grow MapConfig.max_edges"
-            )
+            # auto-grow (double) the edge capacity; one re-jit per bump
+            self = self.grow(edge_capacity=2 * self.graph.edges_ij.shape[0])
         e = self.n_edges
         i = jnp.int32(i)
         j = jnp.int32(j)

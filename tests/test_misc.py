@@ -139,7 +139,10 @@ class TestReviewRegressions:
         m = d > 0
         assert 0.3 < np.median(d[m]) < 10.0  # meters, not millimeters
 
-    def test_map_capacity_guard(self):
+    def test_map_capacity_auto_grows(self):
+        """Exhausting the fixed capacity doubles it (SURVEY section 7:
+        geometric capacity bumps, one re-jit per bump) with every live
+        keyframe, edge, and SSO entry preserved."""
         from dataclasses import replace
 
         from rgbd360_tpu.config import default_config
@@ -154,10 +157,21 @@ class TestReviewRegressions:
 
         planes = jax.tree_util.tree_map(lambda a: a[0], m.planes)
         g = jnp.zeros((8, 16))
-        m = m.add_keyframe(jnp.eye(4), g, g, planes)
-        m = m.add_keyframe(jnp.eye(4), g, g, planes)
-        with pytest.raises(RuntimeError, match="capacity"):
-            m.add_keyframe(jnp.eye(4), g, g, planes)
+        for i in range(3):
+            pose = jnp.eye(4).at[0, 3].set(float(i))
+            m = m.add_keyframe(pose, g + i, g, planes)
+        assert int(m.n_kf) == 3
+        assert m.poses.shape[0] == 4  # doubled from 2
+        for i in range(3):
+            assert float(m.poses[i, 0, 3]) == float(i)  # contents preserved
+            assert float(m.gray[i, 0, 0]) == float(i)
+        m = m.add_edge(0, 1, jnp.eye(4), jnp.eye(6), sso=0.5)
+        m = m.add_edge(1, 2, jnp.eye(4), jnp.eye(6), sso=0.25)
+        m = m.add_edge(0, 2, jnp.eye(4), jnp.eye(6), sso=0.75, is_loop=True)
+        assert int(m.n_edges) == 3
+        assert m.graph.edges_ij.shape[0] == 4  # doubled from 2
+        assert float(m.sso[0, 1]) == 0.5 and float(m.sso[0, 2]) == 0.75
+        assert bool(m.edge_is_lc[2]) and not bool(m.edge_is_lc[0])
 
     def test_quaternion_180_degrees(self, tmp_path):
         from rgbd360_tpu.apps._common import rotation_to_quaternion
