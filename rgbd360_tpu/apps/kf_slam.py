@@ -182,6 +182,12 @@ def main(argv=None):
             f"(path {trajectory_length(gt[:n]):.2f} m); "
             f"RPE {rpe_t:.4f} m / {rpe_r:.4f} rad per frame"
         )
+        if hasattr(slam, "optimized_trajectory"):
+            opt = slam.optimized_trajectory()[:n]
+            print(
+                f"ATE (optimized, frames re-anchored to corrected keyframes) "
+                f"{ate_rmse(opt, gt[:n]):.4f} m"
+            )
     if args.timing and hasattr(slam, "timer"):
         print(slam.timer.report())
     if args.out:

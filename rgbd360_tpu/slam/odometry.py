@@ -328,6 +328,8 @@ class KeyframeSLAM(TrackerBase):
         # last well-tracked frame (state + rel/hessian/sso/dres), retained
         # as the keyframe-promotion candidate
         self._last_frame: dict | None = None
+        # per-frame anchor (kf index, T_kf<-frame) for optimized_trajectory
+        self.frame_anchors: list[tuple[int, np.ndarray]] = []
         # running photometric residual of accepted tracking solves — the
         # self-calibrating reference level for the LC photo gate
         self._ref_photo: float | None = None
@@ -379,6 +381,12 @@ class KeyframeSLAM(TrackerBase):
                 self.track_rel if self.track_rel is not None else np.full((4, 4), np.nan)
             ),
             last_step=self.last_step,
+            anchor_kf=np.asarray([k for k, _ in self.frame_anchors], np.int64),
+            anchor_rel=(
+                np.stack([r for _, r in self.frame_anchors])
+                if self.frame_anchors
+                else np.zeros((0, 4, 4))
+            ),
         )
 
     def resume_from_checkpoint(self, path: str) -> None:
@@ -406,6 +414,35 @@ class KeyframeSLAM(TrackerBase):
             self.last_step = np.asarray(data["last_step"])
         else:
             self.track_rel, self.last_step = None, np.eye(4)
+        if "anchor_kf" in data:
+            self.frame_anchors = list(
+                zip(
+                    [int(k) for k in data["anchor_kf"]],
+                    np.asarray(data["anchor_rel"]),
+                )
+            )
+        else:
+            self.frame_anchors = []
+
+    def _emit(self, ev: dict) -> dict:
+        """Close out a frame: record trajectory sample, its keyframe anchor
+        (for `optimized_trajectory`), and the event."""
+        kf = max(self.current_kf, 0)
+        anchor = np.linalg.inv(np.asarray(self.map.opt_poses[kf])) @ self.pose
+        self.frame_anchors.append((kf, anchor))
+        self.trajectory.append(self.pose.copy())
+        self.events.append(ev)
+        return ev
+
+    def optimized_trajectory(self) -> np.ndarray:
+        """Full per-frame trajectory with every frame re-anchored to its
+        keyframe's CURRENT optimized pose — so pose-graph corrections
+        (loop closures) retroactively apply to the whole history, not just
+        to keyframes added afterwards.  The reference keeps the analogous
+        split as `vTrajectoryPoses` vs `vOptimizedPoses` (`Map360.h:60-64`)
+        but never re-anchors past frames."""
+        opt = np.asarray(self.map.opt_poses)
+        return np.stack([opt[kf] @ rel for kf, rel in self.frame_anchors])
 
     def _keep_tracking(self, state: FrameState, rel, res, depth_res: float) -> bool:
         """Keyframe decision (reference `KFsphere_SLAM.cpp:388-396` plus the
@@ -454,18 +491,14 @@ class KeyframeSLAM(TrackerBase):
 
         if self.current_kf < 0:  # first frame seeds the map
             self._add_keyframe(state, np.eye(4))
-            self.trajectory.append(np.eye(4))
             ev["keyframe"] = True
-            self.events.append(ev)
-            return ev
+            return self._emit(ev)
 
         if self.lost:
             r = self.relocalizer.relocalize(self.map, state.planes)
             ev["relocalized"] = r.success
             if not r.success:
-                self.trajectory.append(self.pose.copy())
-                self.events.append(ev)
-                return ev
+                return self._emit(ev)
             self.current_kf = r.kf
             self.kf_state = None  # pyramid of that KF rebuilt below
             self.pose = np.asarray(self.map.opt_poses[r.kf]) @ r.pose
@@ -519,9 +552,7 @@ class KeyframeSLAM(TrackerBase):
             self.track_rel = None
             self.last_step = np.eye(4)
             self._last_frame = None
-            self.trajectory.append(self.pose.copy())
-            self.events.append(ev)
-            return ev
+            return self._emit(ev)
 
         self.pose = kf_pose @ rel
         if self.track_rel is not None:
@@ -529,9 +560,7 @@ class KeyframeSLAM(TrackerBase):
         self.track_rel = rel.copy()
 
         if self._keep_tracking(state, rel, res, depth_res):
-            self.trajectory.append(self.pose.copy())
-            self.events.append(ev)
-            return ev
+            return self._emit(ev)
 
         # ---- keyframe promotion (reference :516-633).  The tracked
         # residual crossed the threshold, i.e. the CURRENT alignment is
@@ -561,9 +590,7 @@ class KeyframeSLAM(TrackerBase):
                 # (rotation-triggered promotion): it IS the new keyframe
                 self.pose = np.asarray(self.map.opt_poses[k])
                 self.track_rel = np.eye(4)
-                self.trajectory.append(self.pose.copy())
-                self.events.append(ev)
-                return ev
+                return self._emit(ev)
             # re-track the current frame against the new KF, seeded by the
             # current estimate mapped into the new KF's frame
             kf_pose = np.asarray(self.map.opt_poses[k])
@@ -591,15 +618,11 @@ class KeyframeSLAM(TrackerBase):
                 # map; sample this frame's trajectory entry in the SAME
                 # (optimized) frame as its neighbors
                 self.pose = kf_pose @ seed
-                self.trajectory.append(self.pose.copy())
-                self.events.append(ev)
-                return ev
+                return self._emit(ev)
             self.pose = kf_pose @ rel
             self.track_rel = rel.copy()  # frame-to-frame step unchanged
             if self._keep_tracking(state, rel, res, depth_res):
-                self.trajectory.append(self.pose.copy())
-                self.events.append(ev)
-                return ev
+                return self._emit(ev)
             # still beyond the threshold even against the fresh KF: fall
             # through and promote the current frame too
             pb = None
@@ -635,9 +658,7 @@ class KeyframeSLAM(TrackerBase):
 
         if self._post_keyframe(state, k, ev):
             self.pose = np.asarray(self.map.opt_poses[k])
-        self.trajectory.append(self.pose.copy())
-        self.events.append(ev)
-        return ev
+        return self._emit(ev)
 
     def _post_keyframe(self, state: FrameState, k: int, ev: dict) -> bool:
         """Per-new-keyframe map work: neighbor connections, loop-closure

@@ -99,6 +99,12 @@ def test_keyframe_slam_closes_loop(seq):
     assert slam.n_loop_closures >= 1, "no loop closure fired on a closed loop"
     assert bool(jnp.any(slam.map.edge_is_lc)), "LC edge not marked robust"
     assert ate < 0.08, f"ATE {ate:.3f} m around the loop"
+    # optimized trajectory: frames re-anchored to corrected keyframes —
+    # same length, never materially worse than the raw trajectory
+    opt = slam.optimized_trajectory()
+    assert opt.shape == est.shape
+    ate_opt = ate_rmse(opt, gt)
+    assert ate_opt < ate + 0.02, (ate_opt, ate)
 
 
 def test_keyframe_slam_checkpoint_resume(seq, tmp_path):
