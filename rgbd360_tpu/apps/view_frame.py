@@ -71,6 +71,8 @@ def export_frame(builder, raw, outdir: Path, tag: str, planes=False, cloud=False
         save_png(outdir / f"{tag}_planes.png", render_plane_overlay(f, ps, builder))
         msg.append(f"{n} planes")
     if cloud:
+        from rgbd360_tpu.io.pcd import write_pcd
+
         pts = camera.sphere_backproject(f.sphere_depth)
         npts = save_ply(
             outdir / f"{tag}_cloud.ply",
@@ -78,7 +80,15 @@ def export_frame(builder, raw, outdir: Path, tag: str, planes=False, cloud=False
             np.asarray(f.sphere_rgb)[..., ::-1],
             np.asarray(f.sphere_depth) > 0,
         )
-        msg.append(f"{npts} cloud points")
+        # PCL interchange, like the reference's Frame360::save
+        # (`include/Frame360.h:321` writes sphereCloud .pcd)
+        m = np.asarray(f.sphere_depth) > 0
+        write_pcd(
+            outdir / f"{tag}_cloud.pcd",
+            np.asarray(pts).reshape(-1, 3)[m.reshape(-1)],
+            np.asarray(f.sphere_rgb)[..., ::-1].reshape(-1, 3)[m.reshape(-1)],
+        )
+        msg.append(f"{npts} cloud points (.ply + .pcd)")
     print("  ".join(msg))
     return f
 

@@ -87,3 +87,57 @@ def test_sequence_dataset(sample_paths, tmp_path):
     frames = list(ds)
     assert len(frames) == len(ds)
     assert frames[0].rgb.shape == (8, 240, 320, 3)
+
+
+class TestPCD:
+    """PCL .pcd interchange (reference `Frame360::save` writes keyframe
+    clouds as .pcd, `include/Frame360.h:321`; `loadCloud:187` reads them)."""
+
+    def test_roundtrip_binary_rgb(self, tmp_path):
+        from rgbd360_tpu.io.pcd import read_pcd, write_pcd
+
+        rng = np.random.default_rng(0)
+        xyz = rng.normal(size=(257, 3)).astype(np.float32)
+        rgb = rng.integers(0, 256, (257, 3), dtype=np.uint8)
+        n = write_pcd(tmp_path / "c.pcd", xyz, rgb)
+        assert n == 257
+        x2, c2 = read_pcd(tmp_path / "c.pcd")
+        np.testing.assert_allclose(x2, xyz, rtol=1e-6)
+        np.testing.assert_array_equal(c2, rgb)
+
+    def test_roundtrip_ascii_no_rgb(self, tmp_path):
+        from rgbd360_tpu.io.pcd import read_pcd, write_pcd
+
+        xyz = np.array([[1.5, -2.25, 3.0], [0.0, 0.125, -4.5]], np.float32)
+        write_pcd(tmp_path / "a.pcd", xyz, binary=False)
+        x2, c2 = read_pcd(tmp_path / "a.pcd")
+        np.testing.assert_allclose(x2, xyz, rtol=1e-5)
+        assert c2 is None
+
+    def test_reads_foreign_pcd_with_extra_fields(self, tmp_path):
+        """PCL often writes extra fields (normals, intensity) and organized
+        layouts; the reader must skip what it does not need."""
+        from rgbd360_tpu.io.pcd import read_pcd
+
+        header = (
+            "VERSION 0.7\nFIELDS x y z normal_x intensity\n"
+            "SIZE 4 4 4 4 4\nTYPE F F F F F\nCOUNT 1 1 1 1 1\n"
+            "WIDTH 2\nHEIGHT 2\nVIEWPOINT 0 0 0 1 0 0 0\nPOINTS 4\nDATA ascii\n"
+        )
+        rows = "\n".join(
+            f"{i} {i + 0.5} {-i} 0.0 {i * 10}" for i in range(4)
+        )
+        (tmp_path / "f.pcd").write_text(header + rows + "\n")
+        xyz, rgb = read_pcd(tmp_path / "f.pcd")
+        assert xyz.shape == (4, 3) and rgb is None
+        np.testing.assert_allclose(xyz[:, 0], [0, 1, 2, 3])
+        np.testing.assert_allclose(xyz[:, 2], [0, -1, -2, -3])
+
+    def test_nan_rows_dropped_for_flat_input(self, tmp_path):
+        from rgbd360_tpu.io.pcd import read_pcd, write_pcd
+
+        xyz = np.array([[1, 1, 1], [np.nan, 0, 0], [2, 2, 2]], np.float32)
+        n = write_pcd(tmp_path / "n.pcd", xyz)
+        assert n == 2
+        x2, _ = read_pcd(tmp_path / "n.pcd")
+        assert x2.shape == (2, 3)
