@@ -56,9 +56,12 @@ def export_map(slam, outdir: Path, voxel: float = 0.05):
     pts = np.vstack(pts_all)
     cols = np.vstack(col_all)
 
-    # mode 1: voxelized global map
+    # mode 1: voxelized global map (.ply + PCL .pcd interchange)
+    from rgbd360_tpu.io.pcd import write_pcd
+
     pts_v, cols_v = voxel_downsample(pts, voxel, cols)
     n = save_ply(outdir / "map.ply", pts_v, cols_v)
+    write_pcd(outdir / "map.pcd", pts_v, cols_v)
     # mode 2: overlapping per-keyframe clouds
     for k, (p, c) in enumerate(kf_clouds):
         save_ply(outdir / f"kf_{k:03d}.ply", p[::4], c[::4])

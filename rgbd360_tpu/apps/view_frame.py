@@ -112,6 +112,36 @@ def main(argv=None):
     from rgbd360_tpu.io.bin_format import read_rig_frame
     from rgbd360_tpu.io.dataset import SequenceDataset
 
+    if str(args.input).endswith(".pcd"):
+        # saved-cloud viewer (reference Visualization/LoadSphere.cpp):
+        # re-render the cloud as a spherical panorama PNG + stats
+        import jax.numpy as jnp
+
+        from rgbd360_tpu.io.pcd import read_pcd
+        from rgbd360_tpu.ops import camera
+        from rgbd360_tpu.utils.viz import save_png
+
+        outdir = Path(args.out)
+        outdir.mkdir(parents=True, exist_ok=True)
+        xyz, rgb = read_pcd(args.input)
+        h, w = 320, 1920
+        rc, rho = camera.sphere_project(jnp.asarray(xyz), h, w)
+        rc, rho = np.asarray(rc), np.asarray(rho)
+        valid = np.isfinite(rc).all(axis=1) & (rho > 1e-6)
+        img = np.zeros((h, w, 3), np.uint8)
+        rr = rc[valid, 0].astype(int).clip(0, h - 1)
+        cc = rc[valid, 1].astype(int) % w
+        img[rr, cc] = rgb[valid] if rgb is not None else 200
+        tag = Path(args.input).stem
+        save_png(outdir / f"{tag}_pano.png", img)
+        r = np.linalg.norm(xyz, axis=1)
+        print(
+            f"{tag}: {len(xyz)} points, radius median "
+            f"{np.median(r):.2f} m (min {r.min():.2f}, max {r.max():.2f}) "
+            f"-> {outdir / f'{tag}_pano.png'}"
+        )
+        return
+
     calib = load_calib(args)
     builder = FrameBuilder(calib)
     outdir = Path(args.out)
