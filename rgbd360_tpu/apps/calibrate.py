@@ -125,6 +125,45 @@ def cmd_eval(args):
               f"{rot_res:.6f}      {t_res:.4f}")
 
 
+def cmd_viz(args):
+    """Visualize a calibration on a rig capture (reference
+    `Calibration/VisualizeCalibration.cpp`): per-sensor clouds transformed
+    by the extrinsics into the rig frame, colored by sensor id, written as
+    a PLY; plus the stitched panorama with sensor seams overlaid — seam
+    discontinuities or doubled surfaces in either output mean the
+    calibration is off."""
+    from rgbd360_tpu.core.frame import FrameBuilder
+    from rgbd360_tpu.io.bin_format import read_rig_frame
+    from rgbd360_tpu.ops import stitch as stitch_ops
+    from rgbd360_tpu.utils.viz import AREA_COLORS, bgr_to_rgb, save_ply, save_png
+
+    calib = load_calib(args)
+    builder = FrameBuilder(calib)
+    f = builder.build_from_raw(read_rig_frame(args.frame))
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+
+    # per-sensor clouds in the rig frame, colored by sensor
+    xyz = np.asarray(f.cloud_xyz)  # (S, h, w, 3)
+    ok = np.asarray(f.cloud_valid)
+    pts, cols = [], []
+    for s in range(xyz.shape[0]):
+        p = xyz[s][ok[s]]
+        pts.append(p)
+        cols.append(np.broadcast_to(AREA_COLORS[s % len(AREA_COLORS)], p.shape))
+    n = save_ply(out / "rig_by_sensor.ply", np.vstack(pts), np.vstack(cols))
+
+    # stitched panorama with seam columns marked
+    img = bgr_to_rgb(np.asarray(f.sphere_rgb)).copy()
+    seam = ~np.asarray(stitch_ops.seam_mask_from_maps(builder.maps, 1))
+    img[seam] = (img[seam] * 0.3 + np.array([255, 0, 0]) * 0.7).astype(img.dtype)
+    save_png(out / "stitch_seams.png", img)
+    print(
+        f"{n} rig points (colored by sensor) -> {out / 'rig_by_sensor.ply'}; "
+        f"seam-overlaid panorama -> {out / 'stitch_seams.png'}"
+    )
+
+
 def cmd_online(args):
     """Incremental calibration loop (reference `OnlineCalibration::run` —
     grab, segment, match couples, update conditioning, calibrate when every
@@ -407,6 +446,12 @@ def main(argv=None):
     pe.add_argument("control_planes")
     add_calib_args(pe)
     pe.set_defaults(fn=cmd_eval)
+
+    pv = sub.add_parser("viz", help="render a calibration on a rig capture")
+    pv.add_argument("frame", help=".bin rig capture")
+    pv.add_argument("--out", required=True)
+    add_calib_args(pv)
+    pv.set_defaults(fn=cmd_viz)
 
     po = sub.add_parser("online")
     po.add_argument("dataset")

@@ -369,3 +369,15 @@ def test_view_sequence_video(tmp_path):
     frames = list(ImageSequence.Iterator(Image.open(gif)))
     assert len(frames) == 2
     assert frames[0].size == (1920, 320)
+
+
+def test_calibrate_viz(tmp_path):
+    """`calibrate viz` (reference Calibration/VisualizeCalibration.cpp):
+    rig cloud colored by sensor + seam-overlaid panorama."""
+    from rgbd360_tpu.apps import calibrate
+
+    calibrate.main(
+        ["viz", SAMPLES + "/sphere_images_1.bin", "--out", str(tmp_path)]
+    )
+    assert (tmp_path / "rig_by_sensor.ply").stat().st_size > 1000
+    assert (tmp_path / "stitch_seams.png").stat().st_size > 1000
