@@ -495,6 +495,66 @@ class DenseAligner:
 
         return jax.vmap(one)(poses)
 
+    def coarse_align(
+        self,
+        src: FramePyramid,
+        trg: FramePyramid,
+        poses: jnp.ndarray,
+        method: int = PHOTO_DEPTH,
+        iters: int = 10,
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """GN-refine a BATCH of candidate poses at the coarsest pyramid
+        level (vmapped — the coarse sphere is tiny) and return
+        (refined poses (N,4,4), post-alignment errors (N,)).
+
+        Multi-hypothesis search ranks candidates by the error AFTER coarse
+        refinement, not at the static candidate pose — a hypothesis with
+        the right heading but a metre of translation error scores terribly
+        statically yet converges cleanly (wide coarse translation basin),
+        while a heading-aliased hypothesis stays bad.  Used by the tracker
+        rescue and verified relocalization."""
+        if not hasattr(self, "_coarse_align"):
+            self._coarse_align = jax.jit(
+                self._coarse_align_impl, static_argnames=("method", "iters")
+            )
+        return self._coarse_align(src, trg, poses, method=method, iters=iters)
+
+    def _coarse_align_impl(self, src, trg, poses, method, iters):
+        cfg = self.cfg
+        lvl = cfg.pyramid_levels - 1
+        lsrc = self._level_dicts(src, lvl)
+        ltrg = self._level_dicts(trg, lvl)
+        intr = (
+            None
+            if self.intrinsics is None
+            else scale_intrinsics(self.intrinsics, lvl)
+        )
+        trg_pack = _pack_target(ltrg)
+        pts, valid_src = _src_points(lsrc["depth"], cfg, intr)
+
+        def sweep(pose):
+            return _hess_grad_packed(
+                lsrc["gray"], pts, valid_src, trg_pack, pose, cfg, method, 0, intr
+            )
+
+        def one(pose0):
+            def body(_, pose):
+                hess, grad, _ = sweep(pose)
+                bad = (jnp.linalg.det(hess) < 1e-12) | ~jnp.all(
+                    jnp.isfinite(hess)
+                )
+                upd = -jnp.linalg.solve(
+                    jnp.where(bad, jnp.eye(6), hess), grad
+                )
+                upd = jnp.where(bad, jnp.zeros(6), upd)
+                return se3.se3_exp(upd) @ pose
+
+            pose = jax.lax.fori_loop(0, iters, body, pose0)
+            _, _, stats = sweep(pose)
+            return pose, stats["mean_err"]
+
+        return jax.vmap(one)(poses)
+
     # implementation
 
     def _level_dicts(self, pyr: FramePyramid, lvl: int):

@@ -181,14 +181,15 @@ class TrackerBase:
             cands[:, 1, 2] = -sn
             cands[:, 2, 1] = sn
             cands[:, 2, 2] = c
-            errs = np.asarray(
-                fetch(self.aligner.coarse_errors(src_pyr, trg_pyr, jnp.asarray(cands)))
+            refined, errs = fetch(
+                self.aligner.coarse_align(src_pyr, trg_pyr, jnp.asarray(cands))
             )
+            refined, errs = np.asarray(refined), np.asarray(errs)
             tries = 0
             for i in np.argsort(errs):
                 if tries >= 2:
                     break
-                s = novel(cands[i])
+                s = novel(refined[i])
                 if s is None:
                     continue
                 tries += 1
@@ -496,14 +497,87 @@ class KeyframeSLAM(TrackerBase):
 
         if self.lost:
             r = self.relocalizer.relocalize(self.map, state.planes)
-            ev["relocalized"] = r.success
-            if not r.success:
+            if r.success:
+                # Beyond-reference: verify the plane-only relocalization
+                # with a dense solve before trusting it (the reference
+                # accepts on >=5 matched planes alone, `Relocalizer360.h:
+                # 82-83` — which aliases in geometrically self-similar
+                # spaces the same way un-gated loop closures do).  Gates
+                # mirror the loop-closure acceptance: depth residual plus
+                # the photometric level of the last healthy tracking.
+                kf_pyr_r = self.loop_closer.kf_pyramid(
+                    self.map, r.kf, self._kf_pyr_cache
+                )
+                lc_cfg = self.config.lc
+
+                def reloc_ok(res):
+                    photo_ok = (
+                        lc_cfg.max_photo_ratio is None
+                        or self._ref_photo is None
+                        or float(res.av_photo_residual)
+                        < max(
+                            lc_cfg.max_photo_ratio * self._ref_photo,
+                            lc_cfg.photo_gate_floor,
+                        )
+                    )
+                    return (
+                        not bool(res.ill_posed)
+                        and float(res.av_depth_residual) < lc_cfg.max_depth_residual
+                        and photo_ok
+                    )
+
+                res_r = fetch(
+                    self.aligner.align(
+                        state.pyramid, kf_pyr_r, jnp.asarray(r.pose),
+                        method=D.PHOTO_DEPTH,
+                    )
+                )
+                if not reloc_ok(res_r):
+                    # The plane hypothesis is heading-aliased.  The true
+                    # pose relates to the alias by the environment's
+                    # symmetry — a rotation about an axis we don't know —
+                    # so sweep THREE yaw-hypothesis families (left-composed,
+                    # right-composed, and pure yaw about the KF) in one
+                    # coarsest-level batch, then dense-verify the best few.
+                    a = (2 * np.pi / 16) * np.arange(16)
+                    yaws = np.tile(np.eye(4), (16, 1, 1))
+                    c, sn = np.cos(a), np.sin(a)
+                    yaws[:, 1, 1] = c
+                    yaws[:, 1, 2] = -sn
+                    yaws[:, 2, 1] = sn
+                    yaws[:, 2, 2] = c
+                    pb = np.asarray(r.pose)[None]
+                    cands = np.concatenate([yaws @ pb, pb @ yaws, yaws])
+                    refined, errs = fetch(
+                        self.aligner.coarse_align(
+                            state.pyramid, kf_pyr_r, jnp.asarray(cands)
+                        )
+                    )
+                    refined, errs = np.asarray(refined), np.asarray(errs)
+                    res_r = None
+                    for i in np.argsort(errs)[:3]:
+                        cand = fetch(
+                            self.aligner.align(
+                                state.pyramid, kf_pyr_r, jnp.asarray(refined[i]),
+                                method=D.PHOTO_DEPTH,
+                            )
+                        )
+                        if reloc_ok(cand):
+                            res_r = cand
+                            break
+                    if res_r is None:
+                        r = None  # reject: stay lost, try again next frame
+            else:
+                r = None
+            ev["relocalized"] = r is not None
+            if r is None:
                 return self._emit(ev)
+            rel_r = np.asarray(res_r.pose)  # dense-refined T_kf<-frame
             self.current_kf = r.kf
             self.kf_state = None  # pyramid of that KF rebuilt below
-            self.pose = np.asarray(self.map.opt_poses[r.kf]) @ r.pose
+            self.pose = np.asarray(self.map.opt_poses[r.kf]) @ rel_r
             self.lost = False
-            self.track_rel = np.asarray(r.pose)
+            self.track_rel = rel_r
             self.last_step = np.eye(4)
 
         # reference keyframe pyramids (cached; rebuilt from the map payload

@@ -216,3 +216,35 @@ def test_octagon_loop_raw_pipeline_ate(calibration, tmp_path):
     assert int(slam.map.n_kf) >= 4, int(slam.map.n_kf)
     assert ate < 0.15, f"ATE {ate:.3f} m around the octagon loop"
     assert rpe_r < 0.05, f"RPE rot {rpe_r:.3f} rad"
+
+
+def test_kidnapped_robot_relocalizes(calibration):
+    """Teleport mid-sequence in a self-similar room: tracking must go LOST
+    (step continuity), the plane-only relocalization hypothesis is heading-
+    aliased and must be REJECTED by the dense+photometric verification,
+    and the multi-hypothesis coarse-alignment rescue must recover the true
+    pose (reference `Relocalizer360.h:82-83` accepts the aliased match)."""
+    from rgbd360_tpu.apps.grabber import synth_capture, synth_trajectory_poses
+    from rgbd360_tpu.config import default_config
+    from rgbd360_tpu.core.frame import FrameBuilder
+    from rgbd360_tpu.io.calib import load_calibration
+    from rgbd360_tpu.slam.odometry import KeyframeSLAM
+
+    calib = load_calibration("/root/reference/Calibration/Extrinsics", None)
+    rt = np.asarray(calib.rt, np.float64)
+    gt = synth_trajectory_poses("loop", 24, radius=0.8)
+    cfg = default_config()
+    slam = KeyframeSLAM(FrameBuilder(calib, cfg), cfg)
+    order = list(range(10)) + list(range(18, 22))  # teleport after frame 10
+    events, errs = [], []
+    for i in order:
+        ev = slam.process(synth_capture(i, rt=rt, pose=gt[i], room="octagon"))
+        events.append(ev)
+        errs.append(
+            float(np.linalg.norm(slam.trajectory[-1][:3, 3] - gt[i][:3, 3]))
+        )
+    assert events[10].get("lost", False), "teleport not detected as lost"
+    assert any(e.get("relocalized") for e in events[10:]), "never relocalized"
+    k = next(j for j in range(10, len(events)) if events[j].get("relocalized"))
+    assert errs[k] < 0.15, f"relocalized to a wrong pose: {errs[k]:.3f} m off"
+    assert errs[-1] < 0.15, f"post-relocalization tracking lost: {errs[-1]:.3f}"
