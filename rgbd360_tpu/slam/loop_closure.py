@@ -140,9 +140,24 @@ class LoopCloser:
         cand = cand[np.argsort(-n_m[cand])][:max_dense_checks]
 
         # dense verification (reference refines with alignFrames360 and gates
-        # avDepthResidual < 2.0, LoopClosure360.h:311-316)
+        # avDepthResidual < 2.0, LoopClosure360.h:311-316; here plus the
+        # photometric gate and a heading-rescue retry)
         out: list[LoopClosure] = []
         q_pyr = self._pyr(query_gray, query_depth)
+
+        def gates_ok(res) -> bool:
+            photo_ok = (
+                lc_cfg.max_photo_ratio is None
+                or ref_photo is None
+                or float(res.av_photo_residual)
+                < max(lc_cfg.max_photo_ratio * ref_photo, lc_cfg.photo_gate_floor)
+            )
+            return (
+                float(res.av_depth_residual) < lc_cfg.max_depth_residual
+                and photo_ok
+                and not bool(res.ill_posed)
+            )
+
         for k in cand:
             kf_pyr = self.kf_pyramid(map360, int(k), pyr_cache)
             # seed: plane pose maps x_kf = T x_query; dense align(query, kf)
@@ -151,26 +166,38 @@ class LoopCloser:
             res = jax.device_get(
                 self._aligner.align(q_pyr, kf_pyr, seed, method=D.PHOTO_DEPTH)
             )
-            dres = float(res.av_depth_residual)
-            photo_ok = (
-                lc_cfg.max_photo_ratio is None
-                or ref_photo is None
-                or float(res.av_photo_residual)
-                < max(lc_cfg.max_photo_ratio * ref_photo, lc_cfg.photo_gate_floor)
-            )
-            if (
-                dres < lc_cfg.max_depth_residual
-                and photo_ok
-                and not bool(res.ill_posed)
-            ):
-                out.append(
-                    LoopClosure(
-                        kf_from=int(k),
-                        kf_to=int(query_kf),
-                        rel=np.asarray(res.pose),
-                        info=np.asarray(res.hessian),
-                        sso=float(res.sso),
-                        depth_residual=dres,
+            if not gates_ok(res):
+                # heading rescue: the plane seed may be yaw-aliased —
+                # coarse-GN-refine left-composed yaw hypotheses in one
+                # vmapped batch and fully verify only the best
+                a = (2 * np.pi / 16) * np.arange(16)
+                yaws = np.tile(np.eye(4), (16, 1, 1))
+                c, sn = np.cos(a), np.sin(a)
+                yaws[:, 1, 1] = c
+                yaws[:, 1, 2] = -sn
+                yaws[:, 2, 1] = sn
+                yaws[:, 2, 2] = c
+                cands = yaws @ np.asarray(pose[k])[None]
+                refined, errs = jax.device_get(
+                    self._aligner.coarse_align(q_pyr, kf_pyr, jnp.asarray(cands))
+                )
+                best = int(np.argmin(np.asarray(errs)))
+                res = jax.device_get(
+                    self._aligner.align(
+                        q_pyr, kf_pyr, jnp.asarray(np.asarray(refined)[best]),
+                        method=D.PHOTO_DEPTH,
                     )
                 )
+                if not gates_ok(res):
+                    continue
+            out.append(
+                LoopClosure(
+                    kf_from=int(k),
+                    kf_to=int(query_kf),
+                    rel=np.asarray(res.pose),
+                    info=np.asarray(res.hessian),
+                    sso=float(res.sso),
+                    depth_residual=float(res.av_depth_residual),
+                )
+            )
         return out
