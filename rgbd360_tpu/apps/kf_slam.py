@@ -127,8 +127,13 @@ def main(argv=None):
     calib = load_calib(args)
     config = frame_config(args, default_config())
     if args.salient:
+        # polish_iters=2: dense finishing sweeps keep salient tracking at
+        # dense-grade accuracy (see DenseRegConfig.polish_iters)
         config = dataclasses.replace(
-            config, dense=dataclasses.replace(config.dense, salient_pixels=args.salient)
+            config,
+            dense=dataclasses.replace(
+                config.dense, salient_pixels=args.salient, polish_iters=2
+            ),
         )
     builder = FrameBuilder(calib, config)
     ds = SequenceDataset(args.dataset)

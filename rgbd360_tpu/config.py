@@ -84,6 +84,17 @@ class DenseRegConfig:
     # concentrate and weaken conditioning, so it stays opt-in like the
     # reference's flag).  The final statistics/Hessian sweep is always dense.
     salient_pixels: int = 0
+    # Dense polish after a salient solve (beyond reference): this many
+    # FULL-sweep GN iterations at the finest level remove the salient
+    # subset's selection bias.  On smooth/low-texture scenes the thinned
+    # solve's per-frame bias compounds into trajectory drift (synthetic
+    # octagon loop: ATE 0.83 m -> 0.037 m with polish=2, equal to full
+    # dense); on real rig data the bias is ~3.5 mm and polish is
+    # unnecessary.  Costs ~2 dense finest-level sweeps per align (the
+    # batched registration bench drops 488 -> 123 fps), so it is OFF by
+    # default and enabled by the SLAM app's --salient mode, where accuracy
+    # governs.  Only applies when salient_pixels > 0.
+    polish_iters: int = 0
 
 
 @dataclass(frozen=True)

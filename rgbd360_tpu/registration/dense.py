@@ -405,6 +405,81 @@ def _hess_grad_packed(
     return hess, grad, stats
 
 
+def _gn_level(
+    src_gray, pts, valid_src, trg_pack, pose, ill, cfg, method, occlusion,
+    intr, max_iters,
+):
+    """One pyramid level of Gauss-Newton: fused (H, g, err) sweeps with
+    accept-if-improved stepping (reference semantics: a rejected step sets
+    diff_error <= tol which exits the loop, `RegisterPhotoICP.h:4715-4722`).
+    Returns (pose, err, iters, ill, hessian, stats) where hessian/stats come
+    from the last ACCEPTED evaluation — at exit they ARE the final pose's
+    information matrix / SSO / residuals, so no separate statistics sweep is
+    needed (reference `:759-762`, `:3226`)."""
+
+    def cond(carry):
+        cand, best, err_best, it, upd, diff, ill_l = carry[:7]
+        return (
+            (it < max_iters)
+            & (upd > cfg.tol_update)
+            & (diff > cfg.tol_residual)
+            & ~ill_l
+        )
+
+    def body(carry):
+        cand, best, err_best, it, upd, diff, ill_l, h_best, st_best = carry
+        hess, grad, stats = _hess_grad_packed(
+            src_gray, pts, valid_src, trg_pack, cand, cfg, method,
+            occlusion, intr,
+        )
+        err = stats["mean_err"]
+        # Observability guard (reference `:4682-4690`).
+        bad = (jnp.linalg.det(hess) < 1e-12) | ~jnp.all(jnp.isfinite(hess))
+        hsafe = jnp.where(bad, jnp.eye(6), hess)
+        update = -jnp.linalg.solve(hsafe, grad)
+        improved = (err_best - err) > cfg.tol_residual
+        accept = improved & ~bad
+        best_next = jnp.where(accept, cand, best)
+        err_next = jnp.where(accept, err, err_best)
+        h_next = jnp.where(accept, hess, h_best)
+        st_next = {k: jnp.where(accept, stats[k], st_best[k]) for k in st_best}
+        next_cand = se3.se3_exp(update) @ cand
+        cand_next = jnp.where(accept, next_cand, best_next)
+        it = it + jnp.where(accept, 1, 0)
+        diff_next = jnp.where(bad, 0.0, err_best - err)
+        return (
+            cand_next,
+            best_next,
+            err_next,
+            it,
+            jnp.linalg.norm(update),
+            diff_next,
+            ill_l | bad,
+            h_next,
+            st_next,
+        )
+
+    stats0 = {"mean_err": jnp.array(0.0), "visible": jnp.array(0)}
+    if method in (PHOTO_CONSISTENCY, PHOTO_DEPTH):
+        stats0.update(photo_sq=jnp.array(0.0), photo_n=jnp.array(0))
+    if method in (DEPTH_CONSISTENCY, PHOTO_DEPTH):
+        stats0.update(depth_sq=jnp.array(0.0), depth_n=jnp.array(0))
+    carry = (
+        pose,
+        pose,
+        jnp.array(jnp.inf),
+        jnp.array(-1),
+        jnp.array(1.0),
+        jnp.array(1.0),
+        ill,
+        jnp.zeros((6, 6)),
+        stats0,
+    )
+    out = jax.lax.while_loop(cond, body, carry)
+    cand_f, pose_f, err, n_it, _, _, ill_f, hess_f, stats_f = out
+    return pose_f, err, n_it, ill_f, hess_f, stats_f
+
+
 # ------------------------------------------------------------------ driver
 
 
@@ -648,81 +723,34 @@ class DenseAligner:
             else:
                 pts, valid_src = _src_points(lsrc["depth"], cfg, intr)
 
-            # One fused sweep per iteration: evaluate (H, g, err) at the
-            # candidate pose; if it improved on the best-so-far, accept and
-            # step, else terminate (reference semantics: a rejected step sets
-            # diff_error <= tol which exits the loop, `:4715-4722`).
-            def cond(carry):
-                cand, best, err_best, it, upd, diff, ill_l = carry[:7]
-                return (
-                    (it < cfg.max_iters_per_level)
-                    & (upd > cfg.tol_update)
-                    & (diff > cfg.tol_residual)
-                    & ~ill_l
-                )
-
-            def body(carry):
-                cand, best, err_best, it, upd, diff, ill_l, h_best, st_best = carry
-                hess, grad, stats = _hess_grad_packed(
-                    src_gray, pts, valid_src, trg_pack, cand, cfg, method,
-                    occlusion, intr,
-                )
-                err = stats["mean_err"]
-                # Observability guard (reference `:4682-4690`).
-                bad = (jnp.linalg.det(hess) < 1e-12) | ~jnp.all(jnp.isfinite(hess))
-                hsafe = jnp.where(bad, jnp.eye(6), hess)
-                update = -jnp.linalg.solve(hsafe, grad)
-                improved = (err_best - err) > cfg.tol_residual
-                accept = improved & ~bad
-                best_next = jnp.where(accept, cand, best)
-                err_next = jnp.where(accept, err, err_best)
-                # Carry the Hessian + statistics of the ACCEPTED evaluation:
-                # at loop exit they ARE the final pose's information matrix /
-                # SSO / residuals, so no separate post-loop statistics sweep
-                # is needed (saves one full evaluation per alignment;
-                # reference `:759-762`, `:3226`).
-                h_next = jnp.where(accept, hess, h_best)
-                st_next = {
-                    k: jnp.where(accept, stats[k], st_best[k]) for k in st_best
-                }
-                next_cand = se3.se3_exp(update) @ cand
-                cand_next = jnp.where(accept, next_cand, best_next)
-                it = it + jnp.where(accept, 1, 0)
-                diff_next = jnp.where(bad, 0.0, err_best - err)
-                return (
-                    cand_next,
-                    best_next,
-                    err_next,
-                    it,
-                    jnp.linalg.norm(update),
-                    diff_next,
-                    ill_l | bad,
-                    h_next,
-                    st_next,
-                )
-
-            stats0 = {"mean_err": jnp.array(0.0), "visible": jnp.array(0)}
-            if method in (PHOTO_CONSISTENCY, PHOTO_DEPTH):
-                stats0.update(photo_sq=jnp.array(0.0), photo_n=jnp.array(0))
-            if method in (DEPTH_CONSISTENCY, PHOTO_DEPTH):
-                stats0.update(depth_sq=jnp.array(0.0), depth_n=jnp.array(0))
-            carry = (
-                pose,
-                pose,
-                jnp.array(jnp.inf),
-                jnp.array(-1),
-                jnp.array(1.0),
-                jnp.array(1.0),
-                ill,
-                jnp.zeros((6, 6)),
-                stats0,
+            pose, err, n_it, ill, hess_lvl, stats_lvl = _gn_level(
+                src_gray, pts, valid_src, trg_pack, pose, ill, cfg, method,
+                occlusion, intr, cfg.max_iters_per_level,
             )
-            out = jax.lax.while_loop(cond, body, carry)
-            _, pose, err, n_it, _, _, ill, hess_lvl, stats_lvl = out
             iters.append(jnp.maximum(n_it, 0))
             if lvl == 0:
                 hess_out, stats = hess_lvl, stats_lvl
                 size = src_gray.size
+
+        if cfg.salient_pixels > 0 and cfg.polish_iters > 0:
+            # Dense polish (beyond reference): a couple of FULL-sweep GN
+            # iterations at the finest level after the thinned solve — the
+            # salient subset converges near the optimum, the dense sweeps
+            # remove its selection bias, so throughput configurations keep
+            # dense-level accuracy at a fraction of the dense iteration
+            # budget.  The polish Hessian/statistics replace the thinned
+            # ones (they describe the FULL image).
+            lsrc = self._level_dicts(src, 0)
+            ltrg = self._level_dicts(trg, 0)
+            intr0 = (
+                None if self.intrinsics is None else scale_intrinsics(self.intrinsics, 0)
+            )
+            pts, valid_src = _src_points(lsrc["depth"], cfg, intr0)
+            pose, err, _, ill, hess_out, stats = _gn_level(
+                lsrc["gray"], pts, valid_src, _pack_target(ltrg), pose, ill,
+                cfg, method, occlusion, intr0, cfg.polish_iters,
+            )
+            size = lsrc["gray"].size
 
         # Final statistics come from the level-0 loop's last ACCEPTED
         # evaluation (Hessian = information matrix, SSO, average residuals).
