@@ -1,8 +1,9 @@
 """Compare registration methods on a frame pair
 (reference `Registration/MethodsRegisterRGBD360.cpp`).
 
-Runs PbMap, dense photo, dense depth, dense photo+depth, ICP point-to-point
-and point-to-plane on the same pair, reporting pose, timing, and agreement.
+Runs PbMap, dense photo, dense depth, dense photo+depth, ICP point-to-point,
+point-to-plane and GICP (the reference's `RegisterPairRGBD360` refinement
+metric) on the same pair, reporting pose, timing, and agreement.
 
 Usage:
     python -m rgbd360_tpu.apps.benchmark_registration F1.bin F2.bin
@@ -33,6 +34,7 @@ def main(argv=None):
     from rgbd360_tpu.ops.pyramid import build_depth_pyramid
     from rgbd360_tpu.registration import dense as D
     from rgbd360_tpu.registration.icp import (
+        GICP,
         ICPAligner,
         POINT_TO_PLANE,
         POINT_TO_POINT,
@@ -79,7 +81,11 @@ def main(argv=None):
             f"avd={float(res.av_depth_residual):.2f} sso={float(res.sso):.2f}",
         )
 
-    for name, var in [("icp_point", POINT_TO_POINT), ("icp_plane", POINT_TO_PLANE)]:
+    for name, var in [
+        ("icp_point", POINT_TO_POINT),
+        ("icp_plane", POINT_TO_PLANE),
+        ("gicp", GICP),
+    ]:
         icp = ICPAligner(cfg, variant=var)
         (pose, hess, err, n), ms = bench(name, lambda i=icp: i.align(dp2, dp1))
         results[name] = (np.asarray(pose), ms, f"rms={float(err):.3f} n={int(n)}")

@@ -1,8 +1,9 @@
 """Register a pair of rig captures (reference `Registration/RegisterPairRGBD360.cpp`).
 
-PbMap plane registration (PLANAR_3DoF) followed by ICP refinement (the
-reference refines with PCL GICP, `:112-142`); prints matches and both poses,
-optionally exports aligned clouds + overlay images.
+PbMap plane registration (PLANAR_3DoF) followed by GICP refinement (the
+reference refines with PCL GICP, `:112-142`; here the plane-to-plane
+covariance metric runs as projective ICP on the spherical grids); prints
+matches and both poses, optionally exports aligned clouds + overlay images.
 
 Usage:
     python -m rgbd360_tpu.apps.register_pair F1.bin F2.bin [--out DIR] [--dense]
@@ -32,7 +33,7 @@ def main(argv=None):
 
     from rgbd360_tpu.core.frame import FrameBuilder
     from rgbd360_tpu.io.bin_format import read_rig_frame
-    from rgbd360_tpu.registration.icp import ICPAligner
+    from rgbd360_tpu.registration.icp import GICP, ICPAligner
     from rgbd360_tpu.registration.planes import PLANAR_3DOF, PlaneRegistration
 
     calib = load_calib(args)
@@ -50,13 +51,14 @@ def main(argv=None):
     print(f"  t = {np.round(pose_pb[:3, 3], 4).tolist()}  "
           f"|t| = {np.linalg.norm(pose_pb[:3, 3]):.4f} m")
 
-    # ICP refinement seeded by the plane pose (x_1 = T x_2: ICP align(2, 1))
-    icp = ICPAligner(builder.config.dense)
+    # GICP refinement seeded by the plane pose (x_1 = T x_2: align(2, 1)),
+    # the reference's plane-to-plane metric (RegisterPairRGBD360.cpp:112-142)
+    icp = ICPAligner(builder.config.dense, variant=GICP)
     pyr1 = tuple(build_depth_pyramid(f1.sphere_depth, 4))
     pyr2 = tuple(build_depth_pyramid(f2.sphere_depth, 4))
     pose_icp, hess, err, n = icp.align(pyr2, pyr1, jnp.asarray(pose_pb))
     pose_icp = np.asarray(pose_icp)
-    print(f"ICP refine: rms={float(err):.4f} m over {int(n)} correspondences")
+    print(f"GICP refine: rms={float(err):.4f} over {int(n)} correspondences")
     print(f"  t = {np.round(pose_icp[:3, 3], 4).tolist()}  "
           f"|t| = {np.linalg.norm(pose_icp[:3, 3]):.4f} m")
 

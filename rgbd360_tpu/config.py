@@ -245,6 +245,14 @@ class LoopClosureConfig:
 
 
 @dataclass(frozen=True)
+class RelocConfig:
+    """Relocalization acceptance (reference `include/Relocalizer360.h:82-83`)."""
+
+    min_matches: int = 5
+    min_area: float = 10.0
+
+
+@dataclass(frozen=True)
 class MapConfig:
     """Fixed capacities for the jittable map state."""
 
@@ -279,6 +287,7 @@ class FrameworkConfig:
     matcher: MatcherConfig = dataclasses.field(default_factory=MatcherConfig)
     kf: KeyframeConfig = dataclasses.field(default_factory=KeyframeConfig)
     lc: LoopClosureConfig = dataclasses.field(default_factory=LoopClosureConfig)
+    reloc: RelocConfig = dataclasses.field(default_factory=RelocConfig)
     map: MapConfig = dataclasses.field(default_factory=MapConfig)
     graph: GraphConfig = dataclasses.field(default_factory=GraphConfig)
 

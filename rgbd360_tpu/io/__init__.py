@@ -5,6 +5,7 @@ from rgbd360_tpu.io.dataset import SequenceDataset, StreamingDataset
 from rgbd360_tpu.io.rawlog import (
     Obs2DRangeScan,
     Obs3DRangeScan,
+    TCamera,
     assemble_rig_frames,
     read_rawlog,
     write_rawlog,
@@ -13,6 +14,7 @@ from rgbd360_tpu.io.rawlog import (
 __all__ = [
     "Obs2DRangeScan",
     "Obs3DRangeScan",
+    "TCamera",
     "assemble_rig_frames",
     "read_rawlog",
     "write_rawlog",

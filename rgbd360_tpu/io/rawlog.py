@@ -13,19 +13,30 @@ This module provides the same ingest path for the TPU framework:
 * the MRPT *container* wire format — gzip (``CFileGZInputStream``) stream of
   objects framed as ``[u8 0x80|len][class name][i8 version][payload][u8 0x88]``
   with ``<u32 len><bytes>`` strings — is implemented faithfully;
-* *payload* codecs are pinned to the exact class versions listed below.
-  ``CPose3D`` v2 (translation + quaternion, 7 f64) and ``CMatrix`` v0
-  (u32 rows, u32 cols, row-major f32) follow the MRPT 1.x layouts.  For the
-  observation and image classes, whose historical layouts changed across many
-  MRPT releases and cannot be validated in this environment (MRPT is not
-  available and the reference bundles no rawlog), this codec pins its own
-  documented layouts at version 100; a file carrying any other version raises
-  :class:`UnsupportedVersionError` *loudly* instead of misparsing, and the
-  supported ingest path for foreign captures remains conversion to the
-  ``sphere_images_*.bin`` format (`io/bin_format.py`).
+* *payload* codecs implement the actual MRPT 1.x wire layouts:
+  ``CPose3D`` v0-v2 (v2 = translation + quaternion, 7 f64),
+  ``CMatrix``/``CMatrixD`` v0 (u32 rows, u32 cols, row-major f32/f64),
+  ``TCamera`` v0-v2 (focal length, 5 distortion f64, CMatrixD33 intrinsics,
+  rows/cols), ``CImage`` v4-v9 (external-storage flag from v6; grayscale as
+  raw row-padded bytes with an optional zlib block, color as an in-stream
+  JPEG — decoded/encoded with OpenCV here), ``CObservation3DRangeScan``
+  v2-v8 (maxRange, sensorPose, optional points3D with v8 pixel indices,
+  optional range/intensity/confidence images, cameraParams from v2,
+  intensity camera + relative pose from v4, stdError, timestamp, label,
+  external-storage fields from v3, range_is_depth from v5,
+  intensityImageChannel from v6, pixel-label flag from v7), and
+  ``CObservation2DRangeScan`` v4-v7.  Writes are pinned at
+  CObservation3DRangeScan v8 / CImage v7 / CPose3D v2 / TCamera v2 —
+  exactly what MRPT 1.x emits.  A file carrying a class or version outside
+  these ranges raises :class:`UnsupportedVersionError` *loudly* instead of
+  misparsing, and every object's 0x88 end flag is verified so a layout
+  mismatch cannot silently corrupt the stream.
 
 Observation-only rawlogs ("format #2", what `getActionObservationPairOrObservation`
-consumes at `LoadRawlog.cpp:182-188`) are supported for read and write.
+consumes at `LoadRawlog.cpp:182-188`) are supported for read and write;
+sensory-frame rawlogs (format #1) are read by unwrapping each
+``CSensoryFrame`` into its observations (action collections are rejected
+loudly — the reference pipeline never consumes odometry actions).
 """
 
 from __future__ import annotations
@@ -74,9 +85,20 @@ def mrpt_to_unix_timestamp(ts: int) -> float:
 # observation dataclasses
 
 @dataclass
+class TCamera:
+    """mrpt::utils::TCamera (pinhole + 5-coefficient distortion)."""
+
+    intrinsics: np.ndarray = field(default_factory=lambda: np.eye(3))
+    dist: np.ndarray = field(default_factory=lambda: np.zeros(5))
+    focal_length_meters: float = 0.0
+    nrows: int = 480
+    ncols: int = 640
+
+
+@dataclass
 class Obs3DRangeScan:
-    """RGB-D observation (mrpt `CObservation3DRangeScan` subset used by the
-    reference: rangeImage, intensityImage, sensorPose, sensorLabel,
+    """RGB-D observation (mrpt `CObservation3DRangeScan`, the payload the
+    reference consumes: rangeImage, intensityImage, sensorPose, sensorLabel,
     timestamp — `LoadRawlog.cpp:199-283`)."""
 
     sensor_label: str = ""
@@ -88,6 +110,14 @@ class Obs3DRangeScan:
     intensity_image: np.ndarray | None = None  # (H, W, 3) u8 BGR or (H, W) u8
     confidence_image: np.ndarray | None = None
     points3d: np.ndarray | None = None  # (N, 3) float32
+    points3d_idxs: np.ndarray | None = None  # (N, 2) u16 (x, y) pixel origins
+    camera_params: TCamera = field(default_factory=TCamera)
+    camera_params_intensity: TCamera = field(default_factory=TCamera)
+    rel_pose_intensity_wrt_depth: np.ndarray = field(
+        default_factory=lambda: np.eye(4)
+    )
+    range_is_depth: bool = True
+    intensity_channel: int = 0  # CH_VISIBLE
 
 
 @dataclass
@@ -103,6 +133,10 @@ class Obs2DRangeScan:
     max_range: float = 80.0
     ranges: np.ndarray = field(default_factory=lambda: np.zeros(0, np.float32))
     validity: np.ndarray = field(default_factory=lambda: np.zeros(0, np.uint8))
+    std_error: float = 0.01
+    beam_aperture: float = 0.0
+    delta_pitch: float = 0.0
+    intensity: np.ndarray | None = None  # (N,) int32, v7+
 
 
 # ---------------------------------------------------------------------------
@@ -185,8 +219,6 @@ def _quat_to_pose(v: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 # object-level codecs (className -> read/write of the payload)
 
-_OUR_VERSION = 100  # pinned version for classes whose MRPT layout varies
-
 
 def _read_object(r: _Reader):
     """Read one WriteObject-framed object: class name, version, payload."""
@@ -229,6 +261,7 @@ def _read_payload(r: _Reader, name: str, version: int):
 
 
 def _read_cmatrix(r: _Reader, version: int) -> np.ndarray:
+    """mrpt CMatrix v0: u32 rows, u32 cols, row-major f32 block."""
     rows, cols = r.unpack("<II")
     data = np.frombuffer(r.bytes(4 * rows * cols), "<f4")
     return data.reshape(rows, cols).copy()
@@ -240,7 +273,26 @@ def _write_cmatrix(w: _Writer, m: np.ndarray) -> None:
     w.f.write(np.ascontiguousarray(m).tobytes())
 
 
+def _read_cmatrixd(r: _Reader, version: int) -> np.ndarray:
+    """mrpt CMatrixD v0: u32 rows, u32 cols, row-major f64 block."""
+    rows, cols = r.unpack("<II")
+    data = np.frombuffer(r.bytes(8 * rows * cols), "<f8")
+    return data.reshape(rows, cols).copy()
+
+
+def _write_cmatrixd(w: _Writer, m: np.ndarray) -> None:
+    m = np.asarray(m, np.float64)
+    w.pack("<II", m.shape[0], m.shape[1])
+    w.f.write(np.ascontiguousarray(m).tobytes())
+
+
 def _read_cpose3d(r: _Reader, version: int) -> np.ndarray:
+    """mrpt CPose3D: v0 = CMatrix(f32 4x4 object), v1 = CMatrixD(4x4),
+    v2 = CPose3DQuat payload [x y z qr qx qy qz] as 7 f64."""
+    if version == 0:
+        return np.asarray(_expect(r, "CMatrix"), np.float64).reshape(4, 4)
+    if version == 1:
+        return _expect(r, "CMatrixD").reshape(4, 4)
     return _quat_to_pose(np.array(r.unpack("<7d")))
 
 
@@ -248,79 +300,246 @@ def _write_cpose3d(w: _Writer, rt: np.ndarray) -> None:
     w.pack("<7d", *_pose_to_quat(rt))
 
 
+def _read_tcamera(r: _Reader, version: int) -> TCamera:
+    """mrpt::utils::TCamera: f64 focalLengthMeters, 5x f64 dist, 3x3
+    intrinsics as a nested CMatrixD object; v0 trailed a CMatrixDouble15;
+    v2 added u32 nrows, ncols."""
+    cam = TCamera()
+    (cam.focal_length_meters,) = r.unpack("<d")
+    cam.dist = np.array(r.unpack("<5d"))
+    cam.intrinsics = _expect(r, "CMatrixD").reshape(3, 3)
+    if version == 0:
+        _expect(r, "CMatrixD")  # legacy 1x5 distortion duplicate, discarded
+    if version >= 2:
+        cam.nrows, cam.ncols = r.unpack("<II")
+    return cam
+
+
+def _write_tcamera(w: _Writer, cam: TCamera) -> None:
+    w.pack("<d", cam.focal_length_meters)
+    w.pack("<5d", *np.asarray(cam.dist, np.float64))
+    _write_object(w, "CMatrixD", np.asarray(cam.intrinsics, np.float64))
+    w.pack("<II", cam.nrows, cam.ncols)
+
+
+def _jpeg_decode(data: bytes) -> np.ndarray:
+    import cv2
+
+    img = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
+    if img is None:
+        raise RawlogError("embedded JPEG image could not be decoded")
+    return img  # BGR, matching the MRPT/OpenCV convention used rig-wide
+
+
+def _jpeg_encode(img: np.ndarray) -> bytes:
+    import cv2
+
+    ok, buf = cv2.imencode(".jpg", img, [cv2.IMWRITE_JPEG_QUALITY, 95])
+    if not ok:
+        raise RawlogError("JPEG encoding failed")
+    return buf.tobytes()
+
+
 def _read_cimage(r: _Reader, version: int) -> np.ndarray:
-    color, h, wdt, ch = r.unpack("<BIIB")
-    data = np.frombuffer(r.bytes(h * wdt * ch), np.uint8)
-    img = data.reshape(h, wdt, ch)
-    return img.copy() if color else img.reshape(h, wdt).copy()
+    """mrpt CImage v4-v9.
+
+    Layout (CImage.cpp writeToStream): [bool externalStorage (v>=6)
+    + string file if set]; bool hasColor; grayscale -> i32 width, i32
+    height, i32 origin, u32 imageSize (= height * 4-byte-aligned stride),
+    bool storedAsZip (u32 zip length + zlib block when set — MRPT disabled
+    the zip path in practice), raw row-padded bytes; color -> u32 size +
+    JPEG bytes."""
+    if version >= 6 and r.u8():
+        raise RawlogError(
+            "CImage with external storage (image data in a side file) — "
+            "re-export the rawlog with embedded images to ingest it"
+        )
+    color = r.u8()
+    if not color:
+        width, height, origin, image_size = r.unpack("<iiiI")
+        del origin  # 0 = top-left for every producer the reference reads
+        stored_as_zip = r.u8() if version >= 4 else True
+        if stored_as_zip:
+            import zlib
+
+            (zip_len,) = r.unpack("<I")
+            raw = zlib.decompress(r.bytes(zip_len))
+            if len(raw) != image_size:
+                raise RawlogError("CImage zip block decompressed to a wrong size")
+        else:
+            raw = r.bytes(image_size)
+        if height <= 0 or image_size % height:
+            raise RawlogError("corrupt CImage dimensions")
+        stride = image_size // height
+        img = np.frombuffer(raw, np.uint8).reshape(height, stride)[:, :width]
+        return img.copy()
+    (size,) = r.unpack("<I")
+    if size == 0:  # v7+: empty images carry no JPEG block
+        return np.zeros((0, 0, 3), np.uint8)
+    return _jpeg_decode(r.bytes(size))
 
 
 def _write_cimage(w: _Writer, img: np.ndarray) -> None:
+    """Write CImage v7: grayscale raw (zip flag false), color JPEG."""
     img = np.asarray(img, np.uint8)
+    w.pack("<B", 0)  # not externally stored
     color = img.ndim == 3
-    ch = img.shape[2] if color else 1
-    w.pack("<BIIB", int(color), img.shape[0], img.shape[1], ch)
-    w.f.write(np.ascontiguousarray(img).tobytes())
+    w.pack("<B", int(color))
+    if not color:
+        height, width = img.shape
+        stride = (width + 3) & ~3  # IplImage rows align to 4 bytes
+        padded = np.zeros((height, stride), np.uint8)
+        padded[:, :width] = img
+        w.pack("<iiiI", width, height, 0, height * stride)
+        w.pack("<B", 0)  # storedAsZip = false (MRPT's own default)
+        w.f.write(padded.tobytes())
+    else:
+        data = _jpeg_encode(img)
+        w.pack("<I", len(data))
+        w.f.write(data)
 
 
 def _read_obs3d(r: _Reader, version: int) -> Obs3DRangeScan:
+    """mrpt CObservation3DRangeScan v2-v8 (CObservation3DRangeScan.cpp)."""
     o = Obs3DRangeScan()
-    o.sensor_label = r.string()
-    (o.timestamp,) = r.unpack("<Q")
+    (o.max_range,) = r.unpack("<f")
     o.sensor_pose = _expect(r, "CPose3D")
-    o.max_range, o.std_error = r.unpack("<2f")
-    if r.u8():
-        o.range_image = _expect(r, "CMatrix")
-    if r.u8():
-        o.intensity_image = _expect(r, "CImage")
-    if r.u8():
-        o.confidence_image = _expect(r, "CImage")
-    if r.u8():
+    if r.u8():  # hasPoints3D
         (n,) = r.unpack("<I")
-        o.points3d = np.frombuffer(r.bytes(12 * n), "<f4").reshape(n, 3).copy()
+        if n:
+            xyz = [np.frombuffer(r.bytes(4 * n), "<f4") for _ in range(3)]
+            o.points3d = np.stack(xyz, axis=-1).astype(np.float32)
+            if version >= 8:  # per-point source pixel indices
+                ix = np.frombuffer(r.bytes(2 * n), "<u2")
+                iy = np.frombuffer(r.bytes(2 * n), "<u2")
+                o.points3d_idxs = np.stack([ix, iy], axis=-1).copy()
+    if r.u8():  # hasRangeImage
+        o.range_image = _expect(r, "CMatrix")
+    if r.u8():  # hasIntensityImage
+        o.intensity_image = _expect(r, "CImage")
+    if r.u8():  # hasConfidenceImage
+        o.confidence_image = _expect(r, "CImage")
+    o.camera_params = _expect(r, "TCamera")  # v2+
+    if version >= 4:
+        o.camera_params_intensity = _expect(r, "TCamera")
+        o.rel_pose_intensity_wrt_depth = _expect(r, "CPose3D")
+    (o.std_error,) = r.unpack("<f")
+    (o.timestamp,) = r.unpack("<Q")
+    o.sensor_label = r.string()
+    if version >= 3:  # external-storage markers
+        if r.u8():
+            r.string()
+            raise RawlogError(
+                "CObservation3DRangeScan stores its points externally; "
+                "re-export with embedded data"
+            )
+        r.string()
+        if r.u8():
+            r.string()
+            raise RawlogError(
+                "CObservation3DRangeScan stores its range image externally; "
+                "re-export with embedded data"
+            )
+        r.string()
+    if version >= 5:
+        o.range_is_depth = bool(r.u8())
+    if version >= 6:
+        (o.intensity_channel,) = r.unpack("<b")
+    if version >= 7 and r.u8():
+        raise RawlogError(
+            "CObservation3DRangeScan carries pixel labels, which this build "
+            "does not parse (labels live in the framework's own labeling "
+            "subsystem, slam/labeling.py)"
+        )
     return o
 
 
 def _write_obs3d(w: _Writer, o: Obs3DRangeScan) -> None:
-    w.string(o.sensor_label)
-    w.pack("<Q", o.timestamp)
+    """Write CObservation3DRangeScan v8 — the exact MRPT 1.x field order."""
+    w.pack("<f", o.max_range)
     _write_object(w, "CPose3D", o.sensor_pose)
-    w.pack("<2f", o.max_range, o.std_error)
-    for img, cls in (
-        (o.range_image, "CMatrix"),
-        (o.intensity_image, "CImage"),
-        (o.confidence_image, "CImage"),
-    ):
-        w.pack("<B", int(img is not None))
-        if img is not None:
-            _write_object(w, cls, img)
     w.pack("<B", int(o.points3d is not None))
     if o.points3d is not None:
         pts = np.asarray(o.points3d, np.float32)
-        w.pack("<I", len(pts))
-        w.f.write(np.ascontiguousarray(pts).tobytes())
+        n = len(pts)
+        w.pack("<I", n)
+        if n:
+            for k in range(3):
+                w.f.write(np.ascontiguousarray(pts[:, k]).tobytes())
+            idxs = (
+                np.asarray(o.points3d_idxs, np.uint16)
+                if o.points3d_idxs is not None
+                else np.zeros((n, 2), np.uint16)
+            )
+            for k in range(2):
+                w.f.write(np.ascontiguousarray(idxs[:, k]).tobytes())
+    w.pack("<B", int(o.range_image is not None))
+    if o.range_image is not None:
+        _write_object(w, "CMatrix", o.range_image)
+    w.pack("<B", int(o.intensity_image is not None))
+    if o.intensity_image is not None:
+        _write_object(w, "CImage", o.intensity_image)
+    w.pack("<B", int(o.confidence_image is not None))
+    if o.confidence_image is not None:
+        _write_object(w, "CImage", o.confidence_image)
+    _write_object(w, "TCamera", o.camera_params)
+    _write_object(w, "TCamera", o.camera_params_intensity)
+    _write_object(w, "CPose3D", o.rel_pose_intensity_wrt_depth)
+    w.pack("<f", o.std_error)
+    w.pack("<Q", o.timestamp)
+    w.string(o.sensor_label)
+    w.pack("<B", 0)  # points3D not externally stored
+    w.string("")
+    w.pack("<B", 0)  # range image not externally stored
+    w.string("")
+    w.pack("<B", int(o.range_is_depth))
+    w.pack("<b", o.intensity_channel)
+    w.pack("<B", 0)  # no pixel labels
 
 
 def _read_obs2d(r: _Reader, version: int) -> Obs2DRangeScan:
+    """mrpt CObservation2DRangeScan v4-v7: aperture, rightToLeft, maxRange,
+    sensorPose, u32 N, N f32 scan, N u8 validRange, stdError, timestamp,
+    beamAperture, sensorLabel; + deltaPitch (f64) from v5; + optional i32
+    intensity array from v7."""
     o = Obs2DRangeScan()
-    o.sensor_label = r.string()
-    (o.timestamp,) = r.unpack("<Q")
-    o.sensor_pose = _expect(r, "CPose3D")
-    o.aperture, rtl, o.max_range, n = r.unpack("<fBfI")
+    o.aperture, rtl, o.max_range = r.unpack("<fBf")
     o.right_to_left = bool(rtl)
+    o.sensor_pose = _expect(r, "CPose3D")
+    (n,) = r.unpack("<I")
     o.ranges = np.frombuffer(r.bytes(4 * n), "<f4").copy()
     o.validity = np.frombuffer(r.bytes(n), np.uint8).copy()
+    (o.std_error,) = r.unpack("<f")
+    (o.timestamp,) = r.unpack("<Q")
+    (o.beam_aperture,) = r.unpack("<f")
+    o.sensor_label = r.string()
+    if version >= 5:
+        (o.delta_pitch,) = r.unpack("<d")
+    if version >= 7 and r.u8():
+        o.intensity = np.frombuffer(r.bytes(4 * n), "<i4").copy()
     return o
 
 
 def _write_obs2d(w: _Writer, o: Obs2DRangeScan) -> None:
-    w.string(o.sensor_label)
-    w.pack("<Q", o.timestamp)
+    """Write CObservation2DRangeScan v6."""
+    w.pack("<fBf", o.aperture, int(o.right_to_left), o.max_range)
     _write_object(w, "CPose3D", o.sensor_pose)
     ranges = np.asarray(o.ranges, np.float32)
-    w.pack("<fBfI", o.aperture, int(o.right_to_left), o.max_range, len(ranges))
+    w.pack("<I", len(ranges))
     w.f.write(np.ascontiguousarray(ranges).tobytes())
     w.f.write(np.ascontiguousarray(np.asarray(o.validity, np.uint8)).tobytes())
+    w.pack("<f", o.std_error)
+    w.pack("<Q", o.timestamp)
+    w.pack("<f", o.beam_aperture)
+    w.string(o.sensor_label)
+    w.pack("<d", o.delta_pitch)
+
+
+def _read_sensory_frame(r: _Reader, version: int) -> list:
+    """mrpt CSensoryFrame: u32 count + that many nested observations.
+    Emitted by format-#1 rawlogs; `read_rawlog` flattens it."""
+    (n,) = r.unpack("<I")
+    return [_read_object(r)[1] for _ in range(n)]
 
 
 def _expect(r: _Reader, want: str):
@@ -332,37 +551,54 @@ def _expect(r: _Reader, want: str):
 
 _READERS = {
     "CMatrix": _read_cmatrix,
+    "CMatrixD": _read_cmatrixd,
     "CPose3D": _read_cpose3d,
+    "TCamera": _read_tcamera,
     "CImage": _read_cimage,
     "CObservation3DRangeScan": _read_obs3d,
     "CObservation2DRangeScan": _read_obs2d,
+    "CSensoryFrame": _read_sensory_frame,
 }
 _WRITERS = {
     "CMatrix": _write_cmatrix,
+    "CMatrixD": _write_cmatrixd,
     "CPose3D": _write_cpose3d,
+    "TCamera": _write_tcamera,
     "CImage": _write_cimage,
     "CObservation3DRangeScan": _write_obs3d,
     "CObservation2DRangeScan": _write_obs2d,
 }
-# Versions written by this build / accepted on read.  CMatrix v0 and CPose3D
-# v2 are the MRPT 1.x wire layouts; the rest are pinned here (see module doc).
+# Version written by this build (= what MRPT 1.x itself emits) and the range
+# accepted on read; versions outside the range raise UnsupportedVersionError.
 _VERSIONS = {
     "CMatrix": 0,
+    "CMatrixD": 0,
     "CPose3D": 2,
-    "CImage": _OUR_VERSION,
-    "CObservation3DRangeScan": _OUR_VERSION,
-    "CObservation2DRangeScan": _OUR_VERSION,
+    "TCamera": 2,
+    "CImage": 7,
+    "CObservation3DRangeScan": 8,
+    "CObservation2DRangeScan": 6,
 }
-_SUPPORTED_VERSIONS = {k: (v,) for k, v in _VERSIONS.items()}
+_SUPPORTED_VERSIONS = {
+    "CMatrix": tuple(range(0, 1)),
+    "CMatrixD": tuple(range(0, 1)),
+    "CPose3D": tuple(range(0, 3)),
+    "TCamera": tuple(range(0, 3)),
+    "CImage": tuple(range(4, 10)),
+    "CObservation3DRangeScan": tuple(range(2, 9)),
+    "CObservation2DRangeScan": tuple(range(4, 8)),
+    "CSensoryFrame": tuple(range(0, 3)),
+}
 
 
 # ---------------------------------------------------------------------------
 # file-level API
 
 def read_rawlog(path: str | Path) -> Iterator[Obs3DRangeScan | Obs2DRangeScan]:
-    """Stream observations from a rawlog (gzip or plain), format #2
-    (observations-only), mirroring `getActionObservationPairOrObservation`
-    (`LoadRawlog.cpp:182-188`)."""
+    """Stream observations from a rawlog (gzip or plain), mirroring
+    `getActionObservationPairOrObservation` (`LoadRawlog.cpp:182-188`):
+    bare observations (format #2) yield directly; `CSensoryFrame` containers
+    (format #1) are flattened into their observations."""
     path = Path(path)
     with open(path, "rb") as fh:
         magic = fh.read(2)
@@ -370,8 +606,11 @@ def read_rawlog(path: str | Path) -> Iterator[Obs3DRangeScan | Obs2DRangeScan]:
     with opener(path, "rb") as f:
         r = _Reader(f)
         while not r.peek_eof():
-            _, obj = _read_object(r)
-            yield obj
+            name, obj = _read_object(r)
+            if name == "CSensoryFrame":
+                yield from obj
+            else:
+                yield obj
 
 
 def write_rawlog(

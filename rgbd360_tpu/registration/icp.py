@@ -7,12 +7,19 @@ Covers the reference's geometric-only fallbacks: `alignPyramidICP`
 112-142`).  Data association is projective (warp into the target's spherical
 grid — no KD-tree needed), and the error metric is selectable:
 
-  * point-to-point (the reference ICP), or
-  * point-to-plane with target normals (GICP-class accuracy, and the better
-    default on structured indoor scenes).
+  * point-to-point (the reference ICP),
+  * point-to-plane with target normals (the better default on structured
+    indoor scenes), or
+  * GICP — the true plane-to-plane metric of the reference's PCL
+    `GeneralizedIterativeClosestPoint` (Segal et al., RSS 2009): each
+    correspondence is weighted by M = (C_q + R C_p R^T)^-1 where
+    C(n) = I - (1-eps) n n^T is the surface-aligned covariance
+    (eigenvalues {eps, 1, 1}) from the local normal on BOTH sides.
 
 Everything is one jitted coarse-to-fine Gauss-Newton like the dense
-aligner; on TPU the per-level sweep is gathers + a (N, 6) x (6, N) matmul.
+aligner; on TPU the per-level sweep is gathers + a (N, 6) x (6, N) matmul
+(for GICP, batched 3x3 closed-form inverses + einsum contractions that XLA
+maps onto the MXU).
 """
 
 from __future__ import annotations
@@ -25,6 +32,37 @@ from rgbd360_tpu.ops import camera, se3
 
 POINT_TO_POINT = 0
 POINT_TO_PLANE = 1
+GICP = 2
+
+# GICP surface-covariance thickness along the normal (Segal et al. use 1e-3;
+# the reference links PCL's default-configured GICP,
+# `Registration/RegisterPairRGBD360.cpp:112-142`).
+GICP_EPSILON = 1e-3
+
+
+def _inv3_sym(s):
+    """Batched closed-form inverse of symmetric 3x3 matrices (adjugate/det).
+
+    jnp.linalg.inv lowers to an LU sweep per matrix; the adjugate is six
+    fused elementwise products — the TPU-friendly form for (N, 3, 3)."""
+    a, b, c = s[..., 0, 0], s[..., 0, 1], s[..., 0, 2]
+    d, e, f = s[..., 1, 1], s[..., 1, 2], s[..., 2, 2]
+    i00 = d * f - e * e
+    i01 = c * e - b * f
+    i02 = b * e - c * d
+    i11 = a * f - c * c
+    i12 = b * c - a * e
+    i22 = a * d - b * b
+    det = a * i00 + b * i01 + c * i02
+    inv = jnp.stack(
+        [
+            jnp.stack([i00, i01, i02], axis=-1),
+            jnp.stack([i01, i11, i12], axis=-1),
+            jnp.stack([i02, i12, i22], axis=-1),
+        ],
+        axis=-2,
+    )
+    return inv / jnp.maximum(det, 1e-12)[..., None, None]
 
 
 def _target_normals(depth):
@@ -41,7 +79,10 @@ def _target_normals(depth):
     return jnp.where((depth > 0)[..., None] & (norm > 1e-9), n, 0.0)
 
 
-def _icp_sweep(pose, src_pts, src_valid, trg_pack, cfg, variant, max_corr_dist):
+def _icp_sweep(
+    pose, src_pts, src_valid, trg_pack, cfg, variant, max_corr_dist,
+    src_norm=None,
+):
     h, w = src_valid.shape
     # full-f32 point transform (TPU bf16 default would blur correspondences)
     tp = jnp.matmul(
@@ -64,7 +105,41 @@ def _icp_sweep(pose, src_pts, src_valid, trg_pack, cfg, variant, max_corr_dist):
     m = inb & qv & (dist < max_corr_dist)
     wgt = m.astype(jnp.float32)
 
-    if variant == POINT_TO_PLANE:
+    if variant == GICP:
+        # plane-to-plane: M = (C_q + R C_p R^T)^-1 with C(n) = I-(1-eps)nn^T,
+        # so  S = 2I - (1-eps)(nq nq^T + m m^T)  where m = R n_p.  Invalid
+        # normals are zero rows -> their covariance degrades to I (point-to-
+        # point behavior), exactly PCL's fallback for degenerate neighborhoods.
+        m = jnp.matmul(
+            src_norm, pose[:3, :3].T, precision=jax.lax.Precision.HIGHEST
+        )
+        k = 1.0 - GICP_EPSILON
+        eye = jnp.eye(3)
+        s = (
+            2.0 * eye
+            - k * (qn[..., :, None] * qn[..., None, :])
+            - k * (m[..., :, None] * m[..., None, :])
+        )
+        # Robust reweighting (Huber on the Mahalanobis distance): the
+        # 1/(2*eps) ~ 500x normal-direction weight amplifies occlusion
+        # outliers enough to drag the pose along the metric's tangential
+        # null space; cap each correspondence's influence at the 1-sigma
+        # Mahalanobis radius.  PCL bounds the same failure mode with its
+        # correspondence-rejection distance + BFGS line search.
+        minv = _inv3_sym(s)
+        d2 = jnp.einsum("...a,...ab,...b->...", diff, minv, diff)
+        huber = jnp.minimum(1.0, 1.0 / jnp.sqrt(jnp.maximum(d2, 1e-12)))
+        mw = minv * (wgt * huber)[..., None, None]  # masked robust weight
+        eye_b = jnp.broadcast_to(eye, tp.shape[:-1] + (3, 3))
+        jblk = jnp.concatenate([eye_b, -se3.skew(tp)], axis=-1)  # (..., 3, 6)
+        j2 = jblk.reshape(-1, 3, 6)
+        m2 = mw.reshape(-1, 3, 3)
+        r2 = diff.reshape(-1, 3)
+        mj = jnp.einsum("nab,nbj->naj", m2, j2)
+        hess = jnp.einsum("nai,naj->ij", j2, mj)
+        grad = jnp.einsum("naj,na->j", mj, r2)
+        err2 = jnp.einsum("na,nab,nb->", r2, m2, r2)
+    elif variant == POINT_TO_PLANE:
         # residual: n . (q - T p); jacobian row: [n | (T p) x n]
         rres = jnp.sum(qn * diff, axis=-1)
         jac = jnp.concatenate([qn, jnp.cross(tp, qn)], axis=-1)
@@ -126,6 +201,7 @@ class ICPAligner:
             td = trg_pyr[lvl]
             src_pts = camera.sphere_backproject(sd)
             src_valid = (sd > cfg.min_depth) & (sd < cfg.max_depth)
+            src_norm = _target_normals(sd) if self.variant == GICP else None
             trg_pts = camera.sphere_backproject(td)
             trg_norm = _target_normals(td)
             trg_valid = (td > cfg.min_depth) & (td < cfg.max_depth)
@@ -141,6 +217,7 @@ class ICPAligner:
                 hess, grad, err2, n = _icp_sweep(
                     pose, src_pts, src_valid, trg_pack,
                     cfg, self.variant, self.max_corr_dist,
+                    src_norm=src_norm,
                 )
                 bad = (jnp.linalg.det(hess) < 1e-10) | (n < 100)
                 hsafe = jnp.where(bad, jnp.eye(6), hess + 1e-6 * jnp.eye(6))

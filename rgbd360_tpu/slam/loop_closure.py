@@ -11,7 +11,7 @@ ONE batched program.  The PbMap matcher is vmapped over every live keyframe
 at once (the map's plane sets are already stacked), distance- and area-gated
 with masks, and only the best few survivors get the (expensive) dense
 verification.  At scale the vmap axis shards over the device mesh by
-keyframe index (`parallel/sharded_ba.py`)."""
+keyframe index (`parallel/sharded.py`, enabled via `LoopCloser(mesh=...)`)."""
 
 from __future__ import annotations
 

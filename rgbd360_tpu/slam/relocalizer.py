@@ -34,9 +34,6 @@ class RelocalizationResult:
 
 
 class Relocalizer:
-    MIN_MATCHES = 5
-    MIN_AREA = 10.0
-
     def __init__(self, config: FrameworkConfig):
         self.config = config
         self._batch = jax.jit(self._batch_impl)
@@ -65,7 +62,8 @@ class Relocalizer:
         n_m, area, pose, info, obs = self._batch(map360.planes, query_planes, gate)
         n_m = np.asarray(n_m)
         area = np.asarray(area)
-        ok = np.asarray(obs) & (n_m >= self.MIN_MATCHES) & (area > self.MIN_AREA)
+        rc = self.config.reloc
+        ok = np.asarray(obs) & (n_m >= rc.min_matches) & (area > rc.min_area)
         if not ok.any():
             return fail
         # newest-first preference among acceptable hits

@@ -31,6 +31,77 @@ import pytest
 REFERENCE = pathlib.Path("/root/reference")
 SAMPLES = REFERENCE / "samples"
 
+# Tests measured >= ~4 s on the 2-core CPU host (pytest --durations), marked
+# `slow` at collection so `-m "not slow"` is a < 3 min iteration subset.
+# Parametrized tests match by prefix (the [param] suffix is stripped).
+_SLOW_TESTS = {
+    "tests/test_apps.py::test_benchmark_registration_app",
+    "tests/test_apps.py::test_calibrate_fim_analysis",
+    "tests/test_apps.py::test_calibrate_laser_app",
+    "tests/test_apps.py::test_calibrate_online_pair",
+    "tests/test_apps.py::test_calibrate_pipeline",
+    "tests/test_apps.py::test_kf_slam_app",
+    "tests/test_apps.py::test_kf_slam_salient_tracking",
+    "tests/test_apps.py::test_labelize_pipeline",
+    "tests/test_apps.py::test_odometry_app",
+    "tests/test_apps.py::test_online_odometry_live_stream",
+    "tests/test_apps.py::test_register_pair",
+    "tests/test_apps.py::test_synth_motion_recovered_end_to_end",
+    "tests/test_apps.py::test_view_frame_app",
+    "tests/test_calibration.py::TestControlPlanes::test_collect_from_real_frames",
+    "tests/test_calibration.py::TestJointCalibration::test_recover_reference_rig",
+    "tests/test_calibration.py::TestRealRecordedData::test_joint_rig_real_data",
+    "tests/test_dense.py::test_hessian_is_information",
+    "tests/test_dense.py::test_identity_alignment",
+    "tests/test_dense.py::test_real_samples_alignment",
+    "tests/test_dense.py::test_recover_known_pose",
+    "tests/test_extras.py::TestBilateral::test_invalid_passthrough",
+    "tests/test_extras.py::TestLaserCalibration::test_recover_laser_pose",
+    "tests/test_extras.py::TestStereoIO::test_stereo_into_slam_path",
+    "tests/test_extras.py::test_register_sequence_app",
+    "tests/test_icp.py::test_gicp_matches_point_to_plane_on_real_pair",
+    "tests/test_icp.py::test_identity",
+    "tests/test_icp.py::test_real_pair",
+    "tests/test_icp.py::test_recover_perturbation",
+    "tests/test_real_pair.py::test_engines_agree_on_pinned_pose",
+    "tests/test_misc.py::TestOcclusionModes::test_occlusion_agrees_with_plain",
+    "tests/test_misc.py::TestReviewRegressions::test_map_capacity_auto_grows",
+    "tests/test_multihost_spawn.py::test_two_process_distributed_psum",
+    "tests/test_parallel.py::test_distributed_graph_matches_single",
+    "tests/test_parallel.py::test_distributed_pcg_matches_single",
+    "tests/test_parallel.py::test_distributed_pcg_robust_dcs",
+    "tests/test_parallel.py::test_distributed_plane_ba_matches_single",
+    "tests/test_parallel.py::test_scan_scaling_efficiency",
+    "tests/test_pinhole_dense.py::test_pinhole_identity",
+    "tests/test_pinhole_dense.py::test_pinhole_occlusion_modes",
+    "tests/test_pinhole_dense.py::test_rig_joint_beats_single_sensor_conditioning",
+    "tests/test_pinhole_dense.py::test_rig_joint_identity",
+    "tests/test_plane_ba.py::test_associate_planes_builds_problem",
+    "tests/test_plane_ba.py::test_schur_matches_full_dense_solve",
+    "tests/test_planes.py::TestNormals::test_flat_wall",
+    "tests/test_planes.py::TestSegmentation::test_box_scene",
+    "tests/test_planes.py::TestSegmentation::test_merge_duplicates",
+    "tests/test_slam.py::TestPCGGraph::test_large_graph_converges",
+    "tests/test_slam.py::TestPbMapGraphSLAM::test_two_frames",
+    "tests/test_slam.py::TestPoseGraph::test_ring_closes",
+    "tests/test_slam.py::TestRealSLAM::test_two_frame_slam",
+    "tests/test_slam.py::TestRobustDCS::test_dcs_pcg_matches_dense",
+    "tests/test_slam_sequence.py::test_frame_to_frame_odometry_ate",
+    "tests/test_slam_sequence.py::test_keyframe_slam_ate",
+    "tests/test_slam_sequence.py::test_keyframe_slam_checkpoint_resume",
+    "tests/test_slam_sequence.py::test_keyframe_slam_closes_loop",
+    "tests/test_slam_sequence.py::test_kidnapped_robot_relocalizes",
+    "tests/test_slam_sequence.py::test_octagon_loop_raw_pipeline_ate",
+    "tests/test_slam_sequence.py::test_soak_long_horizon",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        base = item.nodeid.split("[", 1)[0]
+        if base in _SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session")
 def sample_paths():

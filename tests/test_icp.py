@@ -7,7 +7,12 @@ import pytest
 from rgbd360_tpu.config import DenseRegConfig
 from rgbd360_tpu.ops import se3
 from rgbd360_tpu.ops.pyramid import build_depth_pyramid
-from rgbd360_tpu.registration.icp import ICPAligner, POINT_TO_PLANE, POINT_TO_POINT
+from rgbd360_tpu.registration.icp import (
+    GICP,
+    ICPAligner,
+    POINT_TO_PLANE,
+    POINT_TO_POINT,
+)
 
 
 @pytest.fixture(scope="module")
@@ -34,7 +39,7 @@ def test_identity(real_depths):
     assert float(n) > 1e5
 
 
-@pytest.mark.parametrize("variant", [POINT_TO_PLANE, POINT_TO_POINT])
+@pytest.mark.parametrize("variant", [POINT_TO_PLANE, POINT_TO_POINT, GICP])
 def test_recover_perturbation(real_depths, variant):
     import sys, pathlib
 
@@ -48,8 +53,20 @@ def test_recover_perturbation(real_depths, variant):
     pose, hess, err, n = al.align(_pyr(jnp.asarray(d1)), _pyr(d0))
     # align(new, old) returns T_old<-new which should equal true_pose
     e = np.asarray(se3.se3_log(se3.se3_inverse(pose) @ jnp.asarray(true_pose)))
-    tol = 0.02 if variant == POINT_TO_PLANE else 0.05
+    tol = 0.05 if variant == POINT_TO_POINT else 0.02
     assert np.linalg.norm(e) < tol, (variant, e)
+
+
+def test_gicp_matches_point_to_plane_on_real_pair(real_depths):
+    """GICP (plane-to-plane, the reference's RegisterPairRGBD360 metric)
+    should land within a few cm of point-to-plane on the real sample pair —
+    they optimize different weightings of the same geometry."""
+    p10, p0 = _pyr(real_depths[1]), _pyr(real_depths[0])
+    pose_g, _, err_g, n_g = ICPAligner(variant=GICP).align(p10, p0)
+    pose_p, _, _, _ = ICPAligner(variant=POINT_TO_PLANE).align(p10, p0)
+    dt = np.linalg.norm(np.asarray(pose_g)[:3, 3] - np.asarray(pose_p)[:3, 3])
+    assert dt < 0.06, (np.asarray(pose_g)[:3, 3], np.asarray(pose_p)[:3, 3])
+    assert int(n_g) > 1e5
 
 
 def test_real_pair(real_depths):

@@ -11,6 +11,21 @@ from rgbd360_tpu.io.bin_format import read_rig_frame
 S1 = "/root/reference/samples/sphere_images_1.bin"
 
 
+def _smooth_rgb(rng, shape):
+    """Smooth structured image — JPEG (what MRPT stores color CImages as)
+    round-trips natural images closely but random noise poorly."""
+    yy, xx = np.mgrid[: shape[0], : shape[1]]
+    p = rng.uniform(0.02, 0.2, 6)
+    img = np.stack(
+        [
+            127 + 120 * np.sin(p[2 * i] * xx + p[2 * i + 1] * yy + i)
+            for i in range(3)
+        ],
+        axis=-1,
+    )
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
 def _rand_obs(rng, label, ts, shape=(24, 32)):
     rt = np.eye(4)
     # a random-ish rotation via two axis rolls keeps the quaternion generic
@@ -26,7 +41,7 @@ def _rand_obs(rng, label, ts, shape=(24, 32)):
         timestamp=ts,
         sensor_pose=rt,
         range_image=rng.uniform(0.3, 9.0, shape).astype(np.float32),
-        intensity_image=rng.integers(0, 255, (*shape, 3), dtype=np.uint8),
+        intensity_image=_smooth_rgb(rng, shape),
     )
 
 
@@ -53,7 +68,12 @@ def test_roundtrip(tmp_path, compress):
         assert b.timestamp == a.timestamp
         np.testing.assert_allclose(b.sensor_pose, a.sensor_pose, atol=1e-12)
         np.testing.assert_array_equal(b.range_image, a.range_image)
-        np.testing.assert_array_equal(b.intensity_image, a.intensity_image)
+        # color CImages ride as JPEG in the MRPT wire format (lossy)
+        assert b.intensity_image.shape == a.intensity_image.shape
+        err = np.abs(
+            b.intensity_image.astype(np.int32) - a.intensity_image.astype(np.int32)
+        )
+        assert err.mean() < 4.0, err.mean()
     laser = back[3]
     assert isinstance(laser, R.Obs2DRangeScan)
     np.testing.assert_array_equal(laser.ranges, obs[3].ranges)
@@ -73,8 +93,11 @@ def test_rig_frame_roundtrip(tmp_path):
     R.write_rawlog(path, obs)
     frames = list(R.assemble_rig_frames(R.read_rawlog(path), num_sensors=8))
     assert len(frames) == 1
-    np.testing.assert_array_equal(frames[0].rgb, raw.rgb)
-    # u16 mm -> f32 m -> u16 mm is exact
+    # RGB rides as JPEG (the MRPT color-CImage wire format): near-lossless
+    # on natural images, not bit-exact
+    err = np.abs(frames[0].rgb.astype(np.int32) - raw.rgb.astype(np.int32))
+    assert err.mean() < 3.0, err.mean()
+    # u16 mm -> f32 m (CMatrix, lossless) -> u16 mm is exact
     np.testing.assert_array_equal(frames[0].depth_mm, raw.depth_mm)
 
 
@@ -117,9 +140,105 @@ def test_unsupported_version_raises(tmp_path):
     path = tmp_path / "bad.rawlog"
     name = b"CObservation3DRangeScan"
     with gzip.open(path, "wb") as f:
-        f.write(bytes([0x80 | len(name)]) + name + bytes([7]))  # mrpt 1.x ver
-    with pytest.raises(R.UnsupportedVersionError, match="version 7"):
+        f.write(bytes([0x80 | len(name)]) + name + bytes([42]))  # future ver
+    with pytest.raises(R.UnsupportedVersionError, match="version 42"):
         list(R.read_rawlog(path))
+
+
+def test_mrpt_wire_layout_golden():
+    """Byte-level golden check of the MRPT 1.x framing this build must both
+    emit and parse: a gray CImage v7 hand-assembled exactly as
+    `CImage::writeToStream` lays it out."""
+    import io as _io
+    import struct
+
+    img = np.arange(6 * 6, dtype=np.uint8).reshape(6, 6)
+    name = b"CImage"
+    payload = (
+        b"\x00"  # not external (v>=6)
+        + b"\x00"  # not color
+        + struct.pack("<iiiI", 6, 6, 0, 6 * 8)  # width, height, origin, size
+        + b"\x00"  # not zip-compressed
+        + b"".join(bytes(row) + b"\x00\x00" for row in img)  # 4-byte stride
+    )
+    wire = bytes([0x80 | len(name)]) + name + bytes([7]) + payload + b"\x88"
+    got = R._read_object(R._Reader(_io.BytesIO(wire)))[1]
+    np.testing.assert_array_equal(got, img)
+    # and the writer emits a stream the reader maps back to the same image
+    buf = _io.BytesIO()
+    R._write_object(R._Writer(buf), "CImage", img)
+    buf.seek(0)
+    np.testing.assert_array_equal(R._read_object(R._Reader(buf))[1], img)
+
+
+def test_cpose3d_legacy_versions():
+    """CPose3D v0 (nested CMatrix 4x4 f32) and v1 (CMatrixD) parse."""
+    import io as _io
+    import struct
+
+    rt = np.eye(4)
+    rt[:3, 3] = [1.5, -2.0, 0.25]
+
+    def frame(name: bytes, version: int, payload: bytes) -> bytes:
+        return bytes([0x80 | len(name)]) + name + bytes([version]) + payload + b"\x88"
+
+    m_f32 = frame(
+        b"CMatrix", 0, struct.pack("<II", 4, 4) + rt.astype("<f4").tobytes()
+    )
+    m_f64 = frame(
+        b"CMatrixD", 0, struct.pack("<II", 4, 4) + rt.astype("<f8").tobytes()
+    )
+    for ver, nested in ((0, m_f32), (1, m_f64)):
+        wire = frame(b"CPose3D", ver, nested)
+        got = R._read_object(R._Reader(_io.BytesIO(wire)))[1]
+        np.testing.assert_allclose(got, rt, atol=1e-6)
+
+
+def test_sensory_frame_unwraps(tmp_path):
+    """Format-#1 rawlogs (CSensoryFrame containers) flatten on read."""
+    import io as _io
+    import struct
+
+    rng = np.random.default_rng(3)
+    obs = [_rand_obs(rng, f"RGBD{i+1}", 1000 + i) for i in range(2)]
+    inner = _io.BytesIO()
+    w = R._Writer(inner)
+    for o in obs:
+        R._write_object(w, "CObservation3DRangeScan", o)
+    name = b"CSensoryFrame"
+    wire = (
+        bytes([0x80 | len(name)])
+        + name
+        + bytes([2])
+        + struct.pack("<I", 2)
+        + inner.getvalue()
+        + b"\x88"
+    )
+    path = tmp_path / "sf.rawlog"
+    path.write_bytes(wire)
+    back = list(R.read_rawlog(path))
+    assert [o.sensor_label for o in back] == ["RGBD1", "RGBD2"]
+    np.testing.assert_array_equal(back[0].range_image, obs[0].range_image)
+
+
+def test_tcamera_roundtrip():
+    import io as _io
+
+    cam = R.TCamera(
+        intrinsics=np.array([[520.0, 0, 319.5], [0, 521.0, 239.5], [0, 0, 1]]),
+        dist=np.array([0.1, -0.2, 0.001, 0.002, 0.05]),
+        focal_length_meters=0.0021,
+        nrows=480,
+        ncols=640,
+    )
+    buf = _io.BytesIO()
+    R._write_object(R._Writer(buf), "TCamera", cam)
+    buf.seek(0)
+    got = R._read_object(R._Reader(buf))[1]
+    np.testing.assert_array_equal(got.intrinsics, cam.intrinsics)
+    np.testing.assert_array_equal(got.dist, cam.dist)
+    assert (got.nrows, got.ncols) == (480, 640)
+    assert got.focal_length_meters == cam.focal_length_meters
 
 
 def test_unknown_class_raises(tmp_path):
@@ -141,5 +260,6 @@ def test_load_rawlog_app(tmp_path):
     n = load_rawlog.main([str(path), "--out", str(out), "--to-bin"])
     assert n == 1
     back = read_rig_frame(out / "sphere_images_1.bin")
-    np.testing.assert_array_equal(back.rgb, raw.rgb)
+    err = np.abs(back.rgb.astype(np.int32) - raw.rgb.astype(np.int32))
+    assert err.mean() < 3.0  # JPEG-carried color (see test_rig_frame_roundtrip)
     np.testing.assert_array_equal(back.depth_mm, raw.depth_mm)
