@@ -66,10 +66,15 @@ def export_frame(builder, raw, outdir: Path, tag: str, planes=False, cloud=False
     save_png(outdir / f"{tag}_depth.png", depth_to_gray(f.sphere_depth))
     msg = [f"{tag}: sphere {tuple(np.asarray(f.sphere_rgb).shape)}"]
     if planes:
+        from rgbd360_tpu.io.pbmap import planeset_to_pbplanes, write_pbmap
+
         ps = builder.segment_planes(f)
         n = int(np.sum(np.asarray(ps.valid)))
         save_png(outdir / f"{tag}_planes.png", render_plane_overlay(f, ps, builder))
-        msg.append(f"{n} planes")
+        # mrpt-binary plane set next to the cloud, the reference's
+        # Frame360::save pairing (`include/Frame360.h:313,321`)
+        write_pbmap(outdir / f"{tag}_planes.pbmap", planeset_to_pbplanes(ps))
+        msg.append(f"{n} planes (.png + .pbmap)")
     if cloud:
         from rgbd360_tpu.io.pcd import write_pcd
 
@@ -105,6 +110,13 @@ def main(argv=None):
                    "(the reference sequence viewer's save-video mode, "
                    "LoadSequence.cpp:59-65)")
     p.add_argument("--fps", type=float, default=10.0)
+    p.add_argument(
+        "--pbmap",
+        default=None,
+        help="with a .pcd input: paired mrpt-binary plane set to overlay "
+        "(reference load_PbMap_Cloud, Frame360.h:213); defaults to "
+        "<input>_planes.pbmap when that file exists",
+    )
     add_calib_args(p)
     args = p.parse_args(argv)
 
@@ -133,10 +145,37 @@ def main(argv=None):
         cc = rc[valid, 1].astype(int) % w
         img[rr, cc] = rgb[valid] if rgb is not None else 200
         tag = Path(args.input).stem
+        # paired mrpt-binary plane set (reference load_PbMap_Cloud pairing,
+        # `Frame360.h:213`: sphereCloud_i.pcd + spherePlanes_i.pbmap)
+        pbmap_path = args.pbmap
+        if pbmap_path is None:
+            cand = Path(args.input).with_name(f"{tag}_planes.pbmap")
+            pbmap_path = cand if cand.exists() else None
+        n_pl = 0
+        if pbmap_path is not None:
+            from rgbd360_tpu.io.pbmap import read_pbmap
+
+            pb = read_pbmap(pbmap_path)
+            n_pl = len(pb)
+            for k, pl in enumerate(pb):
+                color = _COLORS[k % len(_COLORS)]
+                poly = np.asarray(pl.polygon, np.float32)
+                if len(poly) < 2:
+                    continue
+                t = np.linspace(0, 1, 80)[:, None]
+                for i in range(len(poly)):
+                    a, b = poly[i], poly[(i + 1) % len(poly)]
+                    seg = a[None] * (1 - t) + b[None] * t
+                    src, _ = camera.sphere_project(jnp.asarray(seg), h, w)
+                    src = np.asarray(src)
+                    ok = (src[:, 0] >= 0) & (src[:, 0] < h)
+                    img[src[ok, 0].astype(int).clip(0, h - 1),
+                        src[ok, 1].astype(int) % w] = color
         save_png(outdir / f"{tag}_pano.png", img)
         r = np.linalg.norm(xyz, axis=1)
+        extra = f", {n_pl} pbmap planes" if pbmap_path is not None else ""
         print(
-            f"{tag}: {len(xyz)} points, radius median "
+            f"{tag}: {len(xyz)} points{extra}, radius median "
             f"{np.median(r):.2f} m (min {r.min():.2f}, max {r.max():.2f}) "
             f"-> {outdir / f'{tag}_pano.png'}"
         )

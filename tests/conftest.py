@@ -68,6 +68,8 @@ _SLOW_TESTS = {
     "tests/test_misc.py::TestReviewRegressions::test_map_capacity_auto_grows",
     "tests/test_multihost_spawn.py::test_two_process_distributed_psum",
     "tests/test_parallel.py::test_distributed_graph_matches_single",
+    "tests/test_pbmap.py::test_planeset_bridge_real_frame",
+    "tests/test_pbmap.py::test_view_frame_pcd_pbmap_pair",
     "tests/test_parallel.py::test_distributed_pcg_matches_single",
     "tests/test_parallel.py::test_distributed_pcg_robust_dcs",
     "tests/test_parallel.py::test_distributed_plane_ba_matches_single",
