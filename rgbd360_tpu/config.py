@@ -211,6 +211,12 @@ class KeyframeConfig:
     select_kf_icp_dist: float = 0.9  # depth-residual gate `KFsphere_SLAM.cpp:284`
     connection_radius: float = 2.5  # neighbor KF search `KFsphere_SLAM.cpp:286`
     max_connection_residual: float = 1.8
+    # Connection candidates are keyframes of the SAME or a NEIGHBOR area
+    # within connection_radius (reference `KFsphere_SLAM.cpp:405-461`); this
+    # caps the dense alignments spent per new keyframe on top of that
+    # (beyond-reference safety bound — the area partition already keeps the
+    # pool size independent of total map size).
+    max_connections: int = 6
     min_matches_fastpath: int = 6
     min_area_fastpath: float = 12.0
     # Beyond-reference rotation trigger: promote a keyframe once the
@@ -229,6 +235,16 @@ class LoopClosureConfig:
     min_matches: int = 5
     min_area: float = 15.0
     max_depth_residual: float = 2.0
+    # Upper bound on dense verifications per new keyframe.  Candidate
+    # SELECTION is area-driven (same-area keyframes + representative
+    # keyframes of non-neighbor areas, reference `LoopClosure360.h:289-366`),
+    # which already bounds the candidate pool independently of map size;
+    # this cap only guards the dense-verify cost against pathological
+    # many-candidate frames.
+    max_dense_checks: int = 3
+    # When False, ignore topological areas and consider every keyframe in
+    # radius (pre-partition behavior; also what tiny maps fall back to).
+    area_gating: bool = True
     # Beyond-reference photo-consistency gate: the reference accepts a loop
     # closure on depth residual alone (`include/LoopClosure360.h:316`),
     # which is blind to rotational aliasing in (near-)symmetric rooms —

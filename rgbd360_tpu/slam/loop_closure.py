@@ -31,6 +31,48 @@ from rgbd360_tpu.registration.planes import (
 )
 
 
+def candidate_gate(
+    map360, query_pose, query_kf: int, exclude_recent: int, lc_cfg
+) -> np.ndarray:
+    """Boolean candidate mask for loop-closure search (padded length).
+
+    Area-driven, mirroring the reference's loop-closure thread
+    (`include/LoopClosure360.h:289-366`): keyframes of the query's OWN
+    topological area within the search radius, plus the representative
+    keyframe (`Map360::vSelectedKFs`, `Map360.h:66-76`) of every NON-neighbor
+    area in radius.  Neighbor-area keyframes are covered by the tracker's
+    connection search (`KFsphere_SLAM.cpp:405-461`).  Until the map has been
+    partitioned (one area), degrades to the plain radius scan."""
+    n_kf = int(map360.n_kf)
+    centers = np.asarray(map360.opt_poses[:, :3, 3])
+    qc = np.asarray(query_pose[:3, 3])
+    dist = np.linalg.norm(centers - qc, axis=1)
+    idx = np.arange(map360.poses.shape[0])
+    gate = (
+        (idx < n_kf)
+        & (dist < lc_cfg.search_radius)
+        & (idx < query_kf - exclude_recent)
+    )
+    n_areas = int(map360.n_areas)
+    if lc_cfg.area_gating and n_areas > 1:
+        from rgbd360_tpu.slam.topological import (
+            neighbor_areas,
+            representative_keyframes,
+        )
+
+        area = np.asarray(map360.area)
+        pad = map360.poses.shape[0] - n_kf
+        q_area = int(area[min(query_kf, n_kf - 1)])
+        neigh = neighbor_areas(map360)[q_area]  # (A,) incl. self
+        reps = representative_keyframes(map360)
+        is_rep = np.zeros(map360.poses.shape[0], bool)
+        is_rep[reps[reps >= 0]] = True
+        same_area = np.pad(area[:n_kf] == q_area, (0, pad))
+        non_neigh = np.pad(~neigh[area[:n_kf]], (0, pad))
+        gate &= same_area | (non_neigh & is_rep)
+    return gate
+
+
 @dataclass
 class LoopClosure:
     """One accepted loop closure."""
@@ -44,9 +86,25 @@ class LoopClosure:
 
 
 class LoopCloser:
-    def __init__(self, config: FrameworkConfig):
+    def __init__(self, config: FrameworkConfig, mesh=None):
+        """`mesh`: optional `jax.sharding.Mesh` with one ('kf',) axis.  When
+        given, the batch plane matcher runs KF-sharded over the mesh
+        (`parallel/sharded.sharded_plane_scan`) — the production multi-chip
+        path; the map's keyframe capacity must divide by the mesh size
+        (Map360 capacities are powers of two, so they stay divisible across
+        auto-grows)."""
         self.config = config
-        self._batch_match = jax.jit(self._batch_match_impl)
+        self.mesh = mesh
+        if mesh is None:
+            self._batch_match = jax.jit(self._batch_match_impl)
+        else:
+            from rgbd360_tpu.parallel.sharded import sharded_plane_scan
+
+            self._batch_match = lambda query, map_planes, gate: (
+                sharded_plane_scan(
+                    mesh, map_planes, query, gate, config.matcher, PLANAR_3DOF
+                )
+            )
         self._aligner = D.DenseAligner(config.dense)
         self._pyr = jax.jit(
             lambda g, d: D.build_frame_pyramid(g, d, config.dense)
@@ -91,11 +149,22 @@ class LoopCloser:
         query_pose: jnp.ndarray,
         query_kf: int,
         exclude_recent: int = 2,
-        max_dense_checks: int = 3,
+        max_dense_checks: int | None = None,
         pyr_cache: dict | None = None,
         ref_photo: float | None = None,
     ) -> list[LoopClosure]:
-        """Find loop closures for a (new) keyframe against the whole map.
+        """Find loop closures for a (new) keyframe.
+
+        Candidate selection is area-driven, mirroring the reference's
+        loop-closure thread (`include/LoopClosure360.h:289-366`): keyframes
+        of the query's OWN topological area within the search radius, plus
+        the representative keyframe of every NON-neighbor area in radius
+        (`Map360::vSelectedKFs`, `Map360.h:66-76`).  Neighbor-area keyframes
+        are covered by the tracker's connection search instead
+        (`KFsphere_SLAM.cpp:405-461`).  This keeps per-keyframe loop-closure
+        work bounded by area size + area count, independent of total map
+        size.  Until the map has been partitioned (one area), the gate
+        degrades to the plain radius scan.
 
         `ref_photo` is the tracker's current photometric residual; when
         given (and `lc.max_photo_ratio` is set), candidates whose verified
@@ -105,21 +174,15 @@ class LoopCloser:
         (near-)symmetric spaces, where a wrong-by-45-degrees pose fits the
         depth perfectly but not the texture."""
         lc_cfg = self.config.lc
+        if max_dense_checks is None:
+            max_dense_checks = lc_cfg.max_dense_checks
         n_kf = int(map360.n_kf)
         if n_kf <= exclude_recent + 1:
             return []
 
-        # distance gate (reference searches within 5 m, LoopClosure360.h:294);
-        # use OPTIMIZED poses — the query pose lives in the optimized frame
-        centers = np.asarray(map360.opt_poses[:, :3, 3])
-        qc = np.asarray(query_pose[:3, 3])
-        dist = np.linalg.norm(centers - qc, axis=1)
-        idx = np.arange(map360.poses.shape[0])
-        gate = (
-            (idx < n_kf)
-            & (dist < lc_cfg.search_radius)
-            & (idx < query_kf - exclude_recent)
-        )
+        # area-driven candidate gate over OPTIMIZED poses — the query pose
+        # lives in the optimized frame
+        gate = candidate_gate(map360, query_pose, query_kf, exclude_recent, lc_cfg)
         if not gate.any():
             return []
 

@@ -296,11 +296,37 @@ class FrameToFrameOdometry(TrackerBase):
 
 
 class KeyframeSLAM(TrackerBase):
-    """Keyframe SLAM with dense tracking, loop closure and pose-graph BA."""
+    """Keyframe SLAM with dense tracking, loop closure and pose-graph BA.
 
-    def __init__(self, builder: FrameBuilder, config: FrameworkConfig | None = None):
+    `mesh`: optional ('kf',) `jax.sharding.Mesh`.  When given, the map-scale
+    stages of THIS production loop run sharded over the mesh: loop-closure
+    and relocalization candidate matching by keyframe index
+    (`parallel/sharded.sharded_plane_scan`) and pose-graph optimization with
+    edge+vertex-sharded matrix-free LM-PCG
+    (`parallel/sharded.distributed_pose_graph_pcg`) — the TPU-native answer
+    to the reference's concurrent loop-closure thread whose purpose was
+    bounding per-frame map work as the map grows
+    (`include/LoopClosure360.h:108-366`).  Per-frame tracking (one pair)
+    stays replicated.  Map capacities must divide by the mesh size (the
+    power-of-two defaults and doubling auto-grow preserve this)."""
+
+    def __init__(
+        self,
+        builder: FrameBuilder,
+        config: FrameworkConfig | None = None,
+        mesh=None,
+    ):
         super().__init__(builder, config)
         cfg = self.config
+        self.mesh = mesh
+        if mesh is not None:
+            n_dev = mesh.devices.size
+            if cfg.map.max_keyframes % n_dev or cfg.map.max_edges % n_dev:
+                raise ValueError(
+                    f"map capacities ({cfg.map.max_keyframes} KFs, "
+                    f"{cfg.map.max_edges} edges) must divide by the mesh "
+                    f"size ({n_dev})"
+                )
         self.map = Map360.empty(
             cfg.map,
             cfg.sphere.height,
@@ -308,12 +334,16 @@ class KeyframeSLAM(TrackerBase):
             cfg.seg.max_planes,
             cfg.seg.hull_dirs,
         )
-        self.loop_closer = LoopCloser(cfg)
-        self.relocalizer = Relocalizer(cfg)
+        self.loop_closer = LoopCloser(cfg, mesh=mesh)
+        self.relocalizer = Relocalizer(cfg, mesh=mesh)
         self.current_kf = -1
         self.kf_state: FrameState | None = None
         # KF payloads are immutable -> their pyramids are memoized
         self._kf_pyr_cache: dict = {}
+        # host-side mirror of the graph's edge pairs, kept incrementally so
+        # the per-keyframe connection search never rescans the whole edge
+        # array (O(E) per keyframe otherwise)
+        self._edge_set: set[tuple[int, int]] = set()
         self.pose = np.eye(4)  # current frame world pose
         self.trajectory: list[np.ndarray] = []
         self.lost = False
@@ -339,11 +369,20 @@ class KeyframeSLAM(TrackerBase):
 
     def _add_keyframe(self, state: FrameState, pose: np.ndarray) -> int:
         k = int(self.map.n_kf)
+        # a new keyframe joins its tracking parent's topological area; the
+        # periodic partitioner refines the assignment (reference
+        # `TopologicalMap360::addKeyframe`, `TopologicalMap360.h:81`)
+        area_id = (
+            int(np.asarray(self.map.area[self.current_kf]))
+            if self.current_kf >= 0
+            else 0
+        )
         self.map = self.map.add_keyframe(
             jnp.asarray(pose),
             state.sphere.sphere_gray,
             state.sphere.sphere_depth,
             state.planes,
+            area_id=area_id,
         )
         self.current_kf = k
         self.kf_state = state
@@ -354,6 +393,11 @@ class KeyframeSLAM(TrackerBase):
         # any retained promotion candidate was relative to the old KF
         self._last_frame = None
         return k
+
+    def _add_edge(self, i: int, j: int, rel, info, sso=0.0, is_loop=False):
+        """Add a graph edge and mirror the pair host-side."""
+        self.map = self.map.add_edge(i, j, rel, info, sso=sso, is_loop=is_loop)
+        self._edge_set.add((int(i), int(j)))
 
     # --------------------------------------------------- checkpoint/resume
 
@@ -409,6 +453,12 @@ class KeyframeSLAM(TrackerBase):
         self.n_loop_closures = int(data["n_loop_closures"])
         self.kf_state = None  # pyramids rebuilt lazily from the map payload
         self._kf_pyr_cache = {}
+        self._edge_set = {
+            (int(a), int(b))
+            for a, b in np.asarray(
+                self.map.graph.edges_ij[: int(self.map.n_edges)]
+            )
+        }
         if "track_rel" in data:
             tr = np.asarray(data["track_rel"])
             self.track_rel = None if np.isnan(tr).any() else tr
@@ -474,10 +524,25 @@ class KeyframeSLAM(TrackerBase):
         g = self.config.graph
         loop_mask = self.map.edge_is_lc if g.robust_lc else None
         with self.timer.region("optimize"):
-            poses, chi2, iters = optimize_pose_graph(
-                self.map.graph, g.max_iters, g.lm_lambda0, g.lm_step,
-                loop_mask=loop_mask, dcs_phi=g.dcs_phi,
-            )
+            if self.mesh is not None:
+                from rgbd360_tpu.parallel.sharded import (
+                    distributed_pose_graph_pcg,
+                )
+
+                poses, chi2, iters = distributed_pose_graph_pcg(
+                    self.mesh,
+                    self.map.graph,
+                    max_iters=g.max_iters,
+                    lm_lambda0=g.lm_lambda0,
+                    lm_step=g.lm_step,
+                    loop_mask=loop_mask,
+                    dcs_phi=g.dcs_phi,
+                )
+            else:
+                poses, chi2, iters = optimize_pose_graph(
+                    self.map.graph, g.max_iters, g.lm_lambda0, g.lm_step,
+                    loop_mask=loop_mask, dcs_phi=g.dcs_phi,
+                )
         self.map = self.map.with_optimized(poses)
         return float(chi2), int(iters)
 
@@ -651,7 +716,7 @@ class KeyframeSLAM(TrackerBase):
             prev_kf = self.current_kf
             k = self._add_keyframe(lf["state"], kf_pose @ lf["rel"])
             ev["keyframe"] = True
-            self.map = self.map.add_edge(
+            self._add_edge(
                 prev_kf,
                 k,
                 jnp.asarray(lf["rel"]),
@@ -705,7 +770,7 @@ class KeyframeSLAM(TrackerBase):
         k = self._add_keyframe(state, self.pose)
         ev["keyframe"] = True
         # dense odometry edge (T_prev<-new); info = dense Hessian
-        self.map = self.map.add_edge(
+        self._add_edge(
             prev_kf,
             k,
             jnp.asarray(rel),
@@ -722,7 +787,7 @@ class KeyframeSLAM(TrackerBase):
                 )
             )
             if dt < 0.1 and dr < np.deg2rad(5):
-                self.map = self.map.add_edge(
+                self._add_edge(
                     prev_kf,
                     k,
                     jnp.asarray(dpb),
@@ -741,26 +806,33 @@ class KeyframeSLAM(TrackerBase):
         map afterwards)."""
         kf_cfg = self.config.kf
         kf_pose = np.asarray(self.map.opt_poses[k])
-        # neighbor-keyframe connections: dense-align against other nearby
-        # KFs and add extra edges (reference KFsphere_SLAM.cpp:405-461,
-        # vConnections with residual < 1.8)
+        # neighbor-keyframe connections: dense-align against nearby KFs of
+        # the SAME or a NEIGHBOR topological area and add extra edges
+        # (reference KFsphere_SLAM.cpp:405-461 searches same/neighbor-area
+        # KFs within 2.5 m, vConnections with residual < 1.8).  Area
+        # membership — not a fixed candidate cap — bounds the pool, so
+        # per-keyframe work stays independent of total map size.
         n_kf_now = int(self.map.n_kf)
         centers = np.asarray(self.map.opt_poses[:n_kf_now, :3, 3])
         dist = np.linalg.norm(centers - kf_pose[:3, 3], axis=1)
-        graph_edges = {
-            (int(a), int(b))
-            for a, b in np.asarray(self.map.graph.edges_ij[: int(self.map.n_edges)])
-        }
+        if int(self.map.n_areas) > 1:
+            from rgbd360_tpu.slam.topological import neighbor_areas
+
+            area = np.asarray(self.map.area)[:n_kf_now]
+            allowed_area = neighbor_areas(self.map)[area[k]][area]
+        else:
+            allowed_area = np.ones(n_kf_now, bool)
         near = [
             kf
-            for kf in range(n_kf_now)
+            for kf in np.argsort(dist)  # nearest first
             if kf != k
-            and (kf, k) not in graph_edges
-            and (k, kf) not in graph_edges
+            and allowed_area[kf]
+            and (kf, k) not in self._edge_set
+            and (k, kf) not in self._edge_set
             and dist[kf] < kf_cfg.connection_radius
         ]
         n_connections = 0
-        for kf in near[:3]:  # bound per-frame work like the area gating does
+        for kf in near[: kf_cfg.max_connections]:
             kf_pyr2 = self.loop_closer.kf_pyramid(self.map, kf, self._kf_pyr_cache)
             seed2 = jnp.asarray(
                 np.linalg.inv(np.asarray(self.map.opt_poses[kf])) @ kf_pose
@@ -772,7 +844,7 @@ class KeyframeSLAM(TrackerBase):
                 not bool(res2.ill_posed)
                 and float(res2.av_depth_residual) < kf_cfg.max_connection_residual
             ):
-                self.map = self.map.add_edge(
+                self._add_edge(
                     kf,
                     k,
                     jnp.asarray(res2.pose),
@@ -795,7 +867,7 @@ class KeyframeSLAM(TrackerBase):
                 ref_photo=self._ref_photo,
             )
         for lc in lcs:
-            self.map = self.map.add_edge(
+            self._add_edge(
                 lc.kf_from,
                 lc.kf_to,
                 jnp.asarray(lc.rel),

@@ -34,9 +34,21 @@ class RelocalizationResult:
 
 
 class Relocalizer:
-    def __init__(self, config: FrameworkConfig):
+    def __init__(self, config: FrameworkConfig, mesh=None):
+        """`mesh`: optional ('kf',) device mesh — the brute-force scan over
+        all map keyframes shards by keyframe index
+        (`parallel/sharded.sharded_plane_scan`)."""
         self.config = config
-        self._batch = jax.jit(self._batch_impl)
+        self.mesh = mesh
+        if mesh is None:
+            self._batch = jax.jit(self._batch_impl)
+        else:
+            from rgbd360_tpu.parallel.sharded import sharded_plane_scan
+            from rgbd360_tpu.registration.planes import PLANAR_3DOF as _MODE
+
+            self._batch = lambda map_planes, query, gate: sharded_plane_scan(
+                mesh, map_planes, query, gate, config.matcher, _MODE
+            )
 
     def _batch_impl(self, map_planes: PlaneSet, query: PlaneSet, gate):
         cfg = self.config.matcher

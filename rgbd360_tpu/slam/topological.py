@@ -103,6 +103,31 @@ def partition_map(map360, threshold: float = 0.8, min_size: int = 3):
     return full, int(labels.max()) + 1
 
 
+def representative_keyframes(map360) -> np.ndarray:
+    """Elect one representative keyframe per area — the member with the
+    largest total in-area co-visibility (SSO row sum), i.e. the keyframe
+    that senses most of its area's space.  The reference keeps these as
+    `Map360::vSelectedKFs` (`include/Map360.h:66-76`) and the loop-closure
+    thread scans only them for non-neighbor areas
+    (`include/LoopClosure360.h:289-294`).
+
+    Returns an (n_areas,) int array of keyframe indices (-1 for an area with
+    no live members)."""
+    n_kf = int(map360.n_kf)
+    n_areas = int(map360.n_areas)
+    area = np.asarray(map360.area)[:n_kf]
+    sso = np.asarray(map360.sso)[:n_kf, :n_kf].astype(np.float64)
+    sso = np.maximum(sso, sso.T)
+    reps = np.full(n_areas, -1, np.int64)
+    for a in range(n_areas):
+        members = np.where(area == a)[0]
+        if len(members) == 0:
+            continue
+        score = sso[np.ix_(members, members)].sum(axis=1)
+        reps[a] = members[int(np.argmax(score))]
+    return reps
+
+
 def neighbor_areas(map360) -> np.ndarray:
     """(A, A) bool adjacency between areas via existing edges (the
     reference's `vsNeighborAreas`)."""

@@ -73,6 +73,7 @@ _SLOW_TESTS = {
     "tests/test_parallel.py::test_distributed_pcg_matches_single",
     "tests/test_parallel.py::test_distributed_pcg_robust_dcs",
     "tests/test_parallel.py::test_distributed_plane_ba_matches_single",
+    "tests/test_parallel.py::test_keyframe_slam_sharded_matches_single",
     "tests/test_parallel.py::test_scan_scaling_efficiency",
     "tests/test_pinhole_dense.py::test_pinhole_identity",
     "tests/test_pinhole_dense.py::test_pinhole_occlusion_modes",

@@ -187,3 +187,52 @@ def test_multihost_helpers_single_process():
     back = mh.global_to_host_local(gm, P("kf"), gx)
     np.testing.assert_array_equal(np.asarray(back), x)
     assert mh.all_hosts_agree(1.25)
+
+
+def test_keyframe_slam_sharded_matches_single(mesh, calibration, sample_paths):
+    """The PRODUCTION KeyframeSLAM with mesh= set (KF-sharded LC/reloc plane
+    scans + edge/vertex-sharded distributed pose-graph PCG) must track the
+    same trajectory as the single-device tracker on a rendered loop."""
+    import sys, pathlib
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent))
+    from dataclasses import replace
+
+    from helpers import render_sphere_from, synth_trajectory
+
+    from rgbd360_tpu.core.frame import FrameBuilder
+    from rgbd360_tpu.io.bin_format import read_rig_frame
+    from rgbd360_tpu.slam.odometry import KeyframeSLAM
+
+    builder = FrameBuilder(calibration)
+    f = builder.build_from_raw(read_rig_frame(sample_paths[0]))
+    gt = synth_trajectory(6, step=0.12, yaw_step=0.03)
+    frames = [render_sphere_from(f.sphere_gray, f.sphere_depth, p) for p in gt]
+
+    cfg = default_config()
+    cfg = cfg.replace(
+        map=replace(cfg.map, max_keyframes=16, max_edges=64),
+        kf=replace(cfg.kf, select_kf_icp_dist=0.35),
+    )
+
+    runs = {}
+    for name, m in (("single", None), ("sharded", mesh)):
+        slam = KeyframeSLAM(builder, cfg, mesh=m)
+        for g, d in frames:
+            slam.process_state(slam.make_state_from_sphere(g, d))
+        runs[name] = slam
+
+    a, b = runs["single"], runs["sharded"]
+    assert int(a.map.n_kf) == int(b.map.n_kf)
+    assert int(a.map.n_edges) == int(b.map.n_edges)
+    assert a.n_loop_closures == b.n_loop_closures
+    ta = np.stack(a.trajectory)[:, :3, 3]
+    tb = np.stack(b.trajectory)[:, :3, 3]
+    # the sharded run swaps the dense-LM graph solver for distributed PCG;
+    # agreement is expected to solver tolerance, not bit-exactness
+    assert np.abs(ta - tb).max() < 5e-3, np.abs(ta - tb).max()
+    np.testing.assert_allclose(
+        np.asarray(a.map.opt_poses[: int(a.map.n_kf)]),
+        np.asarray(b.map.opt_poses[: int(b.map.n_kf)]),
+        atol=5e-3,
+    )

@@ -256,6 +256,80 @@ class TestTopological:
         assert len(set(labels)) == 1
 
 
+class TestAreaDrivenSelection:
+    """Topological areas must GATE loop-closure candidate selection
+    (reference `LoopClosure360.h:289-366` + `Map360.h:66-76` vSelectedKFs)."""
+
+    def _map_three_areas(self):
+        from dataclasses import replace
+
+        cfg = default_config()
+        m = Map360.empty(
+            replace(cfg.map, max_keyframes=16, max_edges=64),
+            4, 8, cfg.seg.max_planes, cfg.seg.hull_dirs,
+        )
+        # 9 keyframes in a line, three areas of three
+        for i in range(9):
+            pose = np.eye(4)
+            pose[0, 3] = 0.3 * i  # everything within the 5 m radius
+            m = m.add_keyframe(
+                jnp.asarray(pose),
+                jnp.zeros((4, 8)),
+                jnp.zeros((4, 8)),
+                jax.tree_util.tree_map(lambda a: a[0], m.planes),
+                area_id=i // 3,
+            )
+        # odometry chain => areas (0,1) and (1,2) are neighbors, (0,2) not
+        for i in range(8):
+            m = m.add_edge(i, i + 1, jnp.eye(4), jnp.eye(6))
+        from dataclasses import replace as _r
+
+        # SSO: make kf1 the most co-visible member of area 0
+        sso = np.zeros((16, 16), np.float32)
+        sso[0, 1] = sso[1, 0] = 0.9
+        sso[1, 2] = sso[2, 1] = 0.9
+        sso[0, 2] = sso[2, 0] = 0.1
+        return _r(m, n_areas=jnp.int32(3), sso=jnp.asarray(sso))
+
+    def test_representatives(self):
+        from rgbd360_tpu.slam.topological import representative_keyframes
+
+        m = self._map_three_areas()
+        reps = representative_keyframes(m)
+        assert reps[0] == 1  # max SSO row sum in area 0
+
+    def test_candidate_gate(self):
+        from rgbd360_tpu.slam.loop_closure import candidate_gate
+
+        cfg = default_config()
+        m = self._map_three_areas()
+        q_pose = np.asarray(m.opt_poses[8])
+        gate = candidate_gate(m, q_pose, 8, exclude_recent=2, lc_cfg=cfg.lc)
+        # query kf8 is in area 2: same-area kfs 6,7 are excluded by the
+        # recency window; neighbor area 1 (kf 3-5) is NOT scanned by LC
+        # (covered by the connection search); non-neighbor area 0
+        # contributes ONLY its representative, kf1
+        assert list(np.where(gate)[0]) == [1]
+        # without area gating every keyframe in radius outside the recency
+        # window is a candidate
+        from dataclasses import replace
+
+        gate2 = candidate_gate(
+            m, q_pose, 8, 2, replace(cfg.lc, area_gating=False)
+        )
+        assert list(np.where(gate2)[0]) == [0, 1, 2, 3, 4, 5]
+
+    def test_unpartitioned_map_degrades_to_radius(self):
+        from dataclasses import replace
+
+        from rgbd360_tpu.slam.loop_closure import candidate_gate
+
+        cfg = default_config()
+        m = replace(self._map_three_areas(), n_areas=jnp.int32(1))
+        gate = candidate_gate(m, np.asarray(m.opt_poses[8]), 8, 2, cfg.lc)
+        assert list(np.where(gate)[0]) == [0, 1, 2, 3, 4, 5]
+
+
 class TestRealSLAM:
     """End-to-end on the two real samples."""
 
