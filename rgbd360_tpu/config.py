@@ -225,6 +225,22 @@ class KeyframeConfig:
     # odometry continuity limit (`max_rotation_odometry`) and past the
     # range where PbMap seeds stay meaningful.
     max_rotation_keyframes: float = 0.8
+    # Catastrophic-residual safety net (beyond-reference): a solve whose
+    # final depth residual exceeds this many times `lc.max_depth_residual`
+    # did not explain the scene — declare tracking lost instead of freezing
+    # the pose into a keyframe.  Motion-continuity alone misses a failed
+    # solve that settles near its seed (the step looks "continuous").
+    # Anchoring on the LC verify gate makes the threshold track whatever
+    # depth-noise level the deployment already calibrated (sensor noise,
+    # render noise, bfloat16 map payload).  The factor is deliberately a
+    # WIDE net, not a kidnap detector: on the half-res soak the worst
+    # correctly-tracked frames measure 2.4x the LC gate while a pure-
+    # translation teleport measures only 2.5x — residual magnitude cannot
+    # separate those (measured; neither can SSO: the teleport's 0.28
+    # co-visibility equals the petal-tip normal minimum).  Kidnap-class
+    # events are caught by the motion-continuity guards instead; this gate
+    # exists for solves that diverge to nonsense while staying continuous.
+    lost_residual_factor: float = 3.0
 
 
 @dataclass(frozen=True)
@@ -287,6 +303,13 @@ class GraphConfig:
     max_iters: int = 10
     lm_lambda0: float = 1e-5
     lm_step: float = 10.0
+    # Above this keyframe CAPACITY the tracker's optimizer switches from the
+    # dense MXU solve (reference g2o LinearSolverDense semantics) to the
+    # matrix-free block-Jacobi LM-PCG: the dense path materializes (N, N, 6,
+    # 6) normal-equation blocks, which stops being the right trade around
+    # hundreds of keyframes (BASELINE.md solver table).  Capacity — not live
+    # count — so the choice only changes at a grow, never per frame.
+    pcg_threshold_kf: int = 256
     # Robust loop-closure handling: Dynamic Covariance Scaling on edges
     # marked as loop closures (the RRR-class capability the reference's
     # broken `RRR.hpp` include reached for; `include/GraphOptimizer.h:28`).

@@ -99,16 +99,21 @@ class Map360:
     def grow(
         self, kf_capacity: int | None = None, edge_capacity: int | None = None
     ) -> "Map360":
-        """Copy with enlarged fixed capacities (defaults: double each).
+        """Copy with enlarged fixed capacities.
 
-        SURVEY section 7's dynamic-map-growth mitigation: capacities bump
-        geometrically, so downstream jitted programs re-compile once per
-        bump — never per frame.  Contents are preserved; new slots are the
-        same inert padding `empty` produces."""
+        With no arguments both capacities double; passing only one grows
+        only that axis (an edge-capacity bump must not double the much
+        heavier keyframe payload arrays).  SURVEY section 7's dynamic-map-
+        growth mitigation: capacities bump geometrically, so downstream
+        jitted programs re-compile once per bump — never per frame.
+        Contents are preserved; new slots are the same inert padding
+        `empty` produces."""
         n_old = self.poses.shape[0]
         e_old = self.graph.edges_ij.shape[0]
-        n = max(kf_capacity or 2 * n_old, n_old)
-        e = max(edge_capacity or 2 * e_old, e_old)
+        if kf_capacity is None and edge_capacity is None:
+            kf_capacity, edge_capacity = 2 * n_old, 2 * e_old
+        n = max(kf_capacity or n_old, n_old)
+        e = max(edge_capacity or e_old, e_old)
         if n == n_old and e == e_old:
             return self
         h, w = self.gray.shape[1:]

@@ -538,6 +538,14 @@ class KeyframeSLAM(TrackerBase):
                     loop_mask=loop_mask,
                     dcs_phi=g.dcs_phi,
                 )
+            elif self.map.poses.shape[0] > g.pcg_threshold_kf:
+                from rgbd360_tpu.slam.graph import optimize_pose_graph_pcg
+
+                poses, chi2, iters = optimize_pose_graph_pcg(
+                    self.map.graph, g.max_iters,
+                    lm_lambda0=g.lm_lambda0, lm_step=g.lm_step,
+                    loop_mask=loop_mask, dcs_phi=g.dcs_phi,
+                )
             else:
                 poses, chi2, iters = optimize_pose_graph(
                     self.map.graph, g.max_iters, g.lm_lambda0, g.lm_step,
@@ -679,13 +687,20 @@ class KeyframeSLAM(TrackerBase):
         rel = np.asarray(res.pose)
         depth_res = float(res.av_depth_residual)
         ev["av_depth_residual"] = depth_res
+        ev["sso"] = float(res.sso)
         ev["pb_matches"] = int(pb.n_matches)
 
         step = rel if self.track_rel is None else np.linalg.inv(self.track_rel) @ rel
         continuous = is_motion_continuous(
             step, kf_cfg.max_translation_odometry, kf_cfg.max_rotation_odometry
         )
-        if bool(res.ill_posed) or not continuous:
+        # catastrophic-residual gate: a failed solve can stay near its seed
+        # (step looks continuous) while explaining nothing of the scene —
+        # e.g. after a teleport.  See KeyframeConfig.lost_residual_factor.
+        lost_gate = (
+            kf_cfg.lost_residual_factor * self.config.lc.max_depth_residual
+        )
+        if bool(res.ill_posed) or not continuous or depth_res > lost_gate:
             self.lost = True
             ev["lost"] = True
             self.track_rel = None
@@ -744,8 +759,14 @@ class KeyframeSLAM(TrackerBase):
             depth_res = float(res.av_depth_residual)
             ev["av_depth_residual"] = depth_res
             rstep = np.linalg.inv(seed) @ rel
-            ok = not bool(res.ill_posed) and is_motion_continuous(
-                rstep, kf_cfg.max_translation_odometry, kf_cfg.max_rotation_odometry
+            ok = (
+                not bool(res.ill_posed)
+                and depth_res <= lost_gate
+                and is_motion_continuous(
+                    rstep,
+                    kf_cfg.max_translation_odometry,
+                    kf_cfg.max_rotation_odometry,
+                )
             )
             if not ok:
                 self.lost = True
