@@ -234,13 +234,16 @@ class KeyframeConfig:
     # depth-noise level the deployment already calibrated (sensor noise,
     # render noise, bfloat16 map payload).  The factor is deliberately a
     # WIDE net, not a kidnap detector: on the half-res soak the worst
-    # correctly-tracked frames measure 2.4x the LC gate while a pure-
-    # translation teleport measures only 2.5x — residual magnitude cannot
+    # CORRECTLY-tracked frames (pose error ~1 cm under degraded wide-
+    # baseline renders) measure 3.05x the LC gate, while a teleported
+    # frame's solve measures only 2.4-2.5x — residual magnitude cannot
     # separate those (measured; neither can SSO: the teleport's 0.28
     # co-visibility equals the petal-tip normal minimum).  Kidnap-class
-    # events are caught by the motion-continuity guards instead; this gate
-    # exists for solves that diverge to nonsense while staying continuous.
-    lost_residual_factor: float = 3.0
+    # events are caught by the motion-continuity guards when the solve
+    # diverges, and by loop-closure/relocalization consistency otherwise;
+    # this gate exists for data that explains nothing (sensor corruption,
+    # saturating noise) while the solve stays continuous.
+    lost_residual_factor: float = 4.0
 
 
 @dataclass(frozen=True)
