@@ -111,7 +111,6 @@ def _scan_time_ms(make_step, init_carry, k, consume):
 
 def _bench_stages(builder, raw1, raw2, cfg, aligner, trg_pyr, seam_valid):
     """Per-stage table (the BASELINE.md measured rows, as JSON)."""
-    from rgbd360_tpu.core.frame import RigFrame
     from rgbd360_tpu.registration import dense as D
 
     stages = {}
@@ -160,7 +159,7 @@ def _bench_stages(builder, raw1, raw2, cfg, aligner, trg_pyr, seam_valid):
 
     # ---- 8-sensor plane segmentation (grouped + merged): carry perturbs
     # the cloud so iterations depend on each other
-    sph1 = builder.build_from_raw(raw1)
+    sph1 = f1  # same capture; one build serves pyramid + segmentation stages
     rt_p = params["rt"]
 
     def seg_step(carry):

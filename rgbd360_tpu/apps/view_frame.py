@@ -149,8 +149,19 @@ def main(argv=None):
         # `Frame360.h:213`: sphereCloud_i.pcd + spherePlanes_i.pbmap)
         pbmap_path = args.pbmap
         if pbmap_path is None:
-            cand = Path(args.input).with_name(f"{tag}_planes.pbmap")
-            pbmap_path = cand if cand.exists() else None
+            inp = Path(args.input)
+            # candidate pairings: <tag>_planes.pbmap; this tool's own
+            # export naming (<base>_cloud.pcd + <base>_planes.pbmap); the
+            # reference's naming (sphereCloud_i.pcd + spherePlanes_i.pbmap,
+            # `Frame360.h:213`)
+            names = [f"{tag}_planes.pbmap"]
+            if tag.endswith("_cloud"):
+                names.append(f"{tag[: -len('_cloud')]}_planes.pbmap")
+            if "Cloud" in tag:
+                names.append(f"{tag.replace('Cloud', 'Planes')}.pbmap")
+            pbmap_path = next(
+                (c for n in names if (c := inp.with_name(n)).exists()), None
+            )
         n_pl = 0
         if pbmap_path is not None:
             from rgbd360_tpu.io.pbmap import read_pbmap

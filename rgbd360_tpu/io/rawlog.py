@@ -63,12 +63,25 @@ class RawlogError(ValueError):
     pass
 
 
+class UnknownClassError(RawlogError):
+    """An object class this module has no codec for (e.g. the
+    CActionCollection odometry hints interleaved in format-#1 rawlogs).
+    The top-level reader resynchronizes past these — see `_resync`."""
+
+
 class UnsupportedVersionError(RawlogError):
     def __init__(self, cls: str, version: int, supported: tuple[int, ...]):
+        hint = (
+            "; version 100 marks this framework's own pre-MRPT-codec "
+            "interim format — re-export the source data with the current "
+            "build"
+            if version == 100
+            else "; convert the capture to the sphere_images_*.bin format "
+            "(io/bin_format.py) to ingest it"
+        )
         super().__init__(
             f"{cls} serialization version {version} is not supported (this "
-            f"build reads versions {supported}); convert the capture to the "
-            "sphere_images_*.bin format (io/bin_format.py) to ingest it"
+            f"build reads versions {supported}){hint}"
         )
         self.cls, self.version = cls, version
 
@@ -175,10 +188,17 @@ class _Pushback:
         self._f, self._pending = f, pending
 
     def read(self, n: int = -1) -> bytes:
-        p, self._pending = self._pending, b""
+        p = self._pending
         if n is None or n < 0:
+            self._pending = b""
             return p + self._f.read()
-        return p + self._f.read(n - len(p)) if len(p) < n else p[:n]
+        if len(p) >= n:
+            # keep the unconsumed tail (resync pushes back whole buffers,
+            # not just peek_eof's single byte)
+            self._pending = p[n:]
+            return p[:n]
+        self._pending = b""
+        return p + self._f.read(n - len(p))
 
 
 class _Writer:
@@ -227,7 +247,12 @@ def _read_object(r: _Reader):
         raise RawlogError(
             "pre-2008 MRPT serialization (old object framing) is not supported"
         )
-    name = r.bytes(len_byte & 0x7F).decode("ascii")
+    try:
+        name = r.bytes(len_byte & 0x7F).decode("ascii")
+    except UnicodeDecodeError:
+        raise UnknownClassError(
+            "unreadable class name in object framing"
+        ) from None
     (version,) = r.unpack("<b")
     obj = _read_payload(r, name, version)
     end = r.u8()
@@ -250,7 +275,7 @@ def _write_object(w: _Writer, name: str, obj) -> None:
 
 def _read_payload(r: _Reader, name: str, version: int):
     if name not in _READERS:
-        raise RawlogError(
+        raise UnknownClassError(
             f"unsupported rawlog object class '{name}' (supported: "
             f"{sorted(_READERS)})"
         )
@@ -393,6 +418,10 @@ def _write_cimage(w: _Writer, img: np.ndarray) -> None:
         w.pack("<iiiI", width, height, 0, height * stride)
         w.pack("<B", 0)  # storedAsZip = false (MRPT's own default)
         w.f.write(padded.tobytes())
+    elif img.size == 0:
+        # mirror the reader's v7+ convention: empty color image = u32 0,
+        # no JPEG block (a read 0x0 CImage must survive a rewrite)
+        w.pack("<I", 0)
     else:
         data = _jpeg_encode(img)
         w.pack("<I", len(data))
@@ -594,11 +623,71 @@ _SUPPORTED_VERSIONS = {
 # ---------------------------------------------------------------------------
 # file-level API
 
+# Classes whose begin-marker the resync scan hunts for.  Their framed form
+# is [0x80|len][name][i8 version]; the 14+-byte exact byte pattern plus a
+# plausibility check on the version byte makes false positives negligible.
+_RESYNC_CLASSES = (
+    "CSensoryFrame",
+    "CObservation3DRangeScan",
+    "CObservation2DRangeScan",
+)
+
+
+def _resync(r: _Reader) -> bool:
+    """Skip forward to the next begin-marker of a readable top-level class.
+
+    MRPT's WriteObject framing carries no payload length, so objects of
+    classes this module has no codec for — the `CActionCollection`
+    odometry hints that format-#1 rawlogs interleave with sensory frames —
+    cannot be skipped structurally.  The reference discards them too
+    (`getActionObservationPairOrObservation` returns only the observation
+    part, `Visualization/LoadRawlog.cpp:182-188`), so we resynchronize on
+    the distinctive framed-class-name byte pattern of the classes we do
+    read.  Returns True when a marker was found (stream positioned at it),
+    False at end of stream."""
+    pats = [
+        bytes([0x80 | len(n)]) + n.encode("ascii") for n in _RESYNC_CLASSES
+    ]
+    maxlen = max(len(p) for p in pats)
+    buf = b""
+    while True:
+        chunk = r.f.read(65536)
+        if not chunk:
+            return False
+        buf += chunk
+        hit = None
+        for p in pats:
+            start = 0
+            while True:
+                i = buf.find(p, start)
+                if i < 0:
+                    break
+                # plausibility: the next byte must be a small i8 version
+                if i + len(p) < len(buf) and not 0 <= buf[i + len(p)] <= 30:
+                    start = i + 1
+                    continue
+                if i + len(p) >= len(buf):
+                    # version byte not buffered yet; keep the tail and
+                    # read more before deciding
+                    break
+                if hit is None or i < hit:
+                    hit = i
+                break
+        if hit is not None:
+            r.f = _Pushback(r.f, buf[hit:])
+            return True
+        buf = buf[-(maxlen + 1):]
+
+
 def read_rawlog(path: str | Path) -> Iterator[Obs3DRangeScan | Obs2DRangeScan]:
     """Stream observations from a rawlog (gzip or plain), mirroring
     `getActionObservationPairOrObservation` (`LoadRawlog.cpp:182-188`):
     bare observations (format #2) yield directly; `CSensoryFrame` containers
-    (format #1) are flattened into their observations."""
+    (format #1) are flattened into their observations; objects of classes
+    with no codec here (format #1's CActionCollection odometry hints, or an
+    exotic observation type inside a sensory frame) are skipped by
+    resynchronizing on the next readable object's begin marker — the same
+    observations-only view the reference's loader takes."""
     path = Path(path)
     with open(path, "rb") as fh:
         magic = fh.read(2)
@@ -606,7 +695,12 @@ def read_rawlog(path: str | Path) -> Iterator[Obs3DRangeScan | Obs2DRangeScan]:
     with opener(path, "rb") as f:
         r = _Reader(f)
         while not r.peek_eof():
-            name, obj = _read_object(r)
+            try:
+                name, obj = _read_object(r)
+            except UnknownClassError:
+                if not _resync(r):
+                    return
+                continue
             if name == "CSensoryFrame":
                 yield from obj
             else:

@@ -107,10 +107,10 @@ def _icp_sweep(
 
     if variant == GICP:
         # plane-to-plane: M = (C_q + R C_p R^T)^-1 with C(n) = I-(1-eps)nn^T,
-        # so  S = 2I - (1-eps)(nq nq^T + m m^T)  where m = R n_p.  Invalid
+        # so  S = 2I - (1-eps)(nq nq^T + rn rn^T)  where rn = R n_p.  Invalid
         # normals are zero rows -> their covariance degrades to I (point-to-
         # point behavior), exactly PCL's fallback for degenerate neighborhoods.
-        m = jnp.matmul(
+        rn = jnp.matmul(
             src_norm, pose[:3, :3].T, precision=jax.lax.Precision.HIGHEST
         )
         k = 1.0 - GICP_EPSILON
@@ -118,7 +118,7 @@ def _icp_sweep(
         s = (
             2.0 * eye
             - k * (qn[..., :, None] * qn[..., None, :])
-            - k * (m[..., :, None] * m[..., None, :])
+            - k * (rn[..., :, None] * rn[..., None, :])
         )
         # Robust reweighting (Huber on the Mahalanobis distance): the
         # 1/(2*eps) ~ 500x normal-direction weight amplifies occlusion

@@ -12,6 +12,8 @@ hundreds)."""
 
 from __future__ import annotations
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -115,17 +117,30 @@ def representative_keyframes(map360) -> np.ndarray:
     no live members)."""
     n_kf = int(map360.n_kf)
     n_areas = int(map360.n_areas)
-    area = np.asarray(map360.area)[:n_kf]
-    sso = np.asarray(map360.sso)[:n_kf, :n_kf].astype(np.float64)
-    sso = np.maximum(sso, sso.T)
+    # score each keyframe on DEVICE (sum of symmetric SSO over same-area
+    # members) and pull back only the (N,) scores — pulling the full (N, N)
+    # SSO matrix to host per keyframe event scales quadratically with map
+    # capacity for no reason
+    scores, area_d = _rep_scores(map360.sso, map360.area, map360.n_kf)
+    scores = np.asarray(scores)[:n_kf]
+    area = np.asarray(area_d)[:n_kf]
     reps = np.full(n_areas, -1, np.int64)
-    for a in range(n_areas):
+    for a in range(n_areas):  # n_areas is small (tens at most)
         members = np.where(area == a)[0]
-        if len(members) == 0:
-            continue
-        score = sso[np.ix_(members, members)].sum(axis=1)
-        reps[a] = members[int(np.argmax(score))]
+        if len(members):
+            reps[a] = members[int(np.argmax(scores[members]))]
     return reps
+
+
+@jax.jit
+def _rep_scores(sso, area, n_kf):
+    """Per-keyframe total same-area co-visibility (symmetric SSO row sum
+    restricted to the keyframe's own area), masked to live keyframes."""
+    idx = jnp.arange(area.shape[0])
+    live = idx < n_kf
+    s = jnp.maximum(sso, sso.T)
+    same = (area[:, None] == area[None, :]) & live[None, :]
+    return jnp.sum(jnp.where(same, s, 0.0), axis=1), area
 
 
 def neighbor_areas(map360) -> np.ndarray:
@@ -136,8 +151,8 @@ def neighbor_areas(map360) -> np.ndarray:
     out = np.eye(n_areas, dtype=bool)
     edges = np.asarray(map360.graph.edges_ij)
     emask = np.asarray(map360.graph.emask)
-    for (i, j), ok in zip(edges, emask):
-        if ok and i >= 0:
-            out[area[i], area[j]] = True
-            out[area[j], area[i]] = True
+    live = edges[emask & (edges[:, 0] >= 0)]
+    ai, aj = area[live[:, 0]], area[live[:, 1]]
+    out[ai, aj] = True
+    out[aj, ai] = True
     return out

@@ -241,13 +241,71 @@ def test_tcamera_roundtrip():
     assert got.focal_length_meters == cam.focal_length_meters
 
 
-def test_unknown_class_raises(tmp_path):
+def _framed_junk(name: bytes, payload: bytes) -> bytes:
+    """An object of a class this module has no codec for (e.g. the
+    CActionCollection odometry containers of format-#1 rawlogs)."""
+    return bytes([0x80 | len(name)]) + name + bytes([0]) + payload + b"\x88"
+
+
+def test_unknown_class_skipped(tmp_path):
+    """A rawlog containing only unreadable classes yields no observations
+    (the reader resyncs to EOF instead of aborting)."""
     path = tmp_path / "bad2.rawlog"
-    name = b"CActionCollection"
-    with open(path, "wb") as f:
-        f.write(bytes([0x80 | len(name)]) + name + bytes([0]))
-    with pytest.raises(R.RawlogError, match="CActionCollection"):
-        list(R.read_rawlog(path))
+    path.write_bytes(_framed_junk(b"CActionCollection", b"\x01\x02\x03" * 11))
+    assert list(R.read_rawlog(path)) == []
+
+
+def test_format1_action_collections_skipped(tmp_path):
+    """Real format-#1 rawlogs interleave CActionCollection odometry objects
+    with the sensory frames; the reference's loader discards the actions
+    (`LoadRawlog.cpp:182-188`) and so does this reader — by resynchronizing
+    on the next readable object's begin marker (MRPT framing carries no
+    payload length, so unknown payloads cannot be skipped structurally)."""
+    import io as _io
+    import struct
+
+    rng = np.random.default_rng(5)
+    obs = [_rand_obs(rng, f"RGBD{i+1}", 2000 + i) for i in range(2)]
+    inner = _io.BytesIO()
+    w = R._Writer(inner)
+    for o in obs:
+        R._write_object(w, "CObservation3DRangeScan", o)
+    name = b"CSensoryFrame"
+    sf = (
+        bytes([0x80 | len(name)])
+        + name
+        + bytes([2])
+        + struct.pack("<I", 2)
+        + inner.getvalue()
+        + b"\x88"
+    )
+    bare = _io.BytesIO()
+    R._write_object(R._Writer(bare), "CObservation3DRangeScan",
+                    _rand_obs(rng, "RGBD3", 2002))
+    junk = bytes(rng.integers(0, 256, 257, dtype=np.uint8))
+    wire = (
+        _framed_junk(b"CActionCollection", junk)
+        + sf
+        + _framed_junk(b"CActionCollection", junk[::-1])
+        + bare.getvalue()
+    )
+    path = tmp_path / "fmt1.rawlog"
+    path.write_bytes(wire)
+    back = list(R.read_rawlog(path))
+    assert [o.sensor_label for o in back] == ["RGBD1", "RGBD2", "RGBD3"]
+    np.testing.assert_array_equal(back[0].range_image, obs[0].range_image)
+
+
+def test_empty_cimage_rewrite():
+    """A read 0x0 color CImage (v7+ size==0 convention) must survive a
+    write-back — the writer mirrors the reader's empty-image encoding."""
+    import io as _io
+
+    buf = _io.BytesIO()
+    R._write_object(R._Writer(buf), "CImage", np.zeros((0, 0, 3), np.uint8))
+    buf.seek(0)
+    img = R._read_object(R._Reader(buf))[1]
+    assert img.shape == (0, 0, 3)
 
 
 def test_load_rawlog_app(tmp_path):
