@@ -81,6 +81,19 @@ def main(argv=None):
             f"avd={float(res.av_depth_residual):.2f} sso={float(res.sso):.2f}",
         )
 
+    # sub-pixel variant (validity-weighted bilinear target sampling)
+    from dataclasses import replace as _dc_replace
+
+    cfg_bl = _dc_replace(cfg, bilinear=True)
+    al_bl = D.DenseAligner(cfg_bl)
+    pb1 = D.build_frame_pyramid(f1.sphere_gray, f1.sphere_depth, cfg_bl, seam)
+    pb2 = D.build_frame_pyramid(f2.sphere_gray, f2.sphere_depth, cfg_bl, seam)
+    res, ms = bench("dense_bilerp", lambda: al_bl.align(pb2, pb1, method=D.PHOTO_DEPTH))
+    results["dense_bilerp"] = (
+        np.asarray(res.pose), ms,
+        f"avd={float(res.av_depth_residual):.2f} sso={float(res.sso):.2f}",
+    )
+
     for name, var in [
         ("icp_point", POINT_TO_POINT),
         ("icp_plane", POINT_TO_PLANE),

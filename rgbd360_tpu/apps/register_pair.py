@@ -28,6 +28,12 @@ def main(argv=None):
     p.add_argument("frame2")
     p.add_argument("--out", default=None, help="export directory")
     p.add_argument("--dense", action="store_true", help="also run dense photo+depth")
+    p.add_argument(
+        "--bilinear",
+        action="store_true",
+        help="validity-weighted bilinear target sampling for the dense stage "
+        "(sub-pixel warp; beyond the reference's nearest rounding)",
+    )
     add_calib_args(p)
     args = p.parse_args(argv)
 
@@ -70,7 +76,9 @@ def main(argv=None):
         from rgbd360_tpu.registration import dense as D
 
         seam = stitch_ops.seam_mask_from_maps(builder.maps, 1)
-        cfg = builder.config.dense
+        from dataclasses import replace as _dc_replace
+
+        cfg = _dc_replace(builder.config.dense, bilinear=args.bilinear)
         p1 = D.build_frame_pyramid(f1.sphere_gray, f1.sphere_depth, cfg, seam)
         p2 = D.build_frame_pyramid(f2.sphere_gray, f2.sphere_depth, cfg, seam)
         # align(src=2, trg=1) -> T_1<-2, comparable with the PbMap pose

@@ -84,6 +84,21 @@ class DenseRegConfig:
     # concentrate and weaken conditioning, so it stays opt-in like the
     # reference's flag).  The final statistics/Hessian sweep is always dense.
     salient_pixels: int = 0
+    # Validity-weighted bilinear target sampling (beyond reference, which
+    # rounds warp coordinates — `RegisterPhotoICP.h:2545`).  Nearest-pixel
+    # rounding costs ~half a pixel of warp address error (~3.3 mrad on the
+    # 1920-wide sphere = 10-16 mm tangential at 3 m — the dominant term of
+    # the measured pairwise accuracy floor, docs/PERFORMANCE.md).  All six
+    # target channels are blended with ONE shared weight set (bilinear x
+    # tap-depth-validity, renormalized); pixels whose taps straddle a depth
+    # discontinuity or lose most weight to invalid taps fall back to the
+    # nearest tap jointly.  Costs one 24-wide row gather per sweep instead
+    # of 6-wide — same per-row gather latency.  Off by default for
+    # reference parity of the residual statistics.
+    bilinear: bool = False
+    # Max relative depth spread across contributing taps before a pixel
+    # falls back to nearest (guards against blending across surfaces).
+    bilerp_depth_spread: float = 0.05
     # Dense polish after a salient solve (beyond reference): this many
     # FULL-sweep GN iterations at the finest level remove the salient
     # subset's selection bias.  On smooth/low-texture scenes the thinned

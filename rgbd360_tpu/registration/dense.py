@@ -142,12 +142,20 @@ def build_frame_pyramid(
 # ------------------------------------------------------------------ kernels
 
 
-def _pack_target(level_trg):
+def _pack_target(level_trg, bilinear=False, wrap=True):
     """Stack the six target channels so each GN sweep does ONE row gather of
     a contiguous 6-vector per pixel (fastest measured form on TPU: a flat
     (N, 6) row gather; per-channel planar gathers from tiled 2D images are
-    ~4x slower inside the GN while-loop)."""
-    return jnp.stack(
+    ~4x slower inside the GN while-loop).
+
+    bilinear=True widens each row to 24 channels holding the pixel's 2x2
+    bilinear tap neighborhood [self | right | down | down-right], so a
+    validity-weighted bilinear sweep still costs ONE row gather (TPU gathers
+    are per-row latency-bound — width is nearly free, see
+    docs/PERFORMANCE.md).  `wrap` selects column wraparound (spherical
+    equirect target) vs edge clamp (pinhole); rows always edge-clamp.
+    Requires a 2D (H, W) level."""
+    p = jnp.stack(
         [
             level_trg["gray"],
             level_trg["depth"],
@@ -158,6 +166,19 @@ def _pack_target(level_trg):
         ],
         axis=-1,
     )
+    if not bilinear:
+        return p
+    if wrap:
+        right = jnp.roll(p, -1, axis=1)
+    else:
+        right = jnp.concatenate([p[:, 1:], p[:, -1:]], axis=1)
+    down = jnp.concatenate([p[1:], p[-1:]], axis=0)
+    down_right = (
+        jnp.roll(down, -1, axis=1)
+        if wrap
+        else jnp.concatenate([down[:, 1:], down[:, -1:]], axis=1)
+    )
+    return jnp.concatenate([p, right, down, down_right], axis=-1)
 
 
 def _src_points(src_depth, cfg, intr=None):
@@ -187,11 +208,13 @@ def _warp_terms(pose, pts, valid_src, h, w, intr=None):
     tp = jnp.matmul(pts, r3.T, precision=_HI) + t3
     if intr is None:
         rc, rho = camera.sphere_project(tp, h, w)
+        rf, cf = rc[..., 0], rc[..., 1] % w
         r_i = jnp.round(rc[..., 0]).astype(jnp.int32)
         c_i = jnp.round(rc[..., 1]).astype(jnp.int32) % w
         inb = (r_i >= 0) & (r_i < h) & valid_src
     else:
         uv, rho = camera.pinhole_project(tp, intr)
+        rf, cf = uv[..., 1], uv[..., 0]
         r_i = jnp.round(uv[..., 1]).astype(jnp.int32)
         c_i = jnp.round(uv[..., 0]).astype(jnp.int32)
         inb = (
@@ -199,7 +222,19 @@ def _warp_terms(pose, pts, valid_src, h, w, intr=None):
         )
         c_i = jnp.clip(c_i, 0, w - 1)
     r_s = jnp.clip(r_i, 0, h - 1)
-    return dict(tp=tp, rho=rho, r=r_s, c=c_i, visible=inb, valid_src=valid_src)
+    # Bilinear tap addressing (used only when the target pack is 24-wide):
+    # floor cell + in-cell fractions; the pack's right/down taps handle the
+    # column wrap / row clamp, so r0/c0 alone address all four taps.
+    r0f = jnp.floor(rf)
+    c0f = jnp.floor(cf)
+    frac_r = jnp.clip(rf - r0f, 0.0, 1.0)
+    frac_c = jnp.clip(cf - c0f, 0.0, 1.0)
+    r0 = jnp.clip(r0f, 0, h - 1).astype(jnp.int32)
+    c0 = jnp.clip(c0f, 0, w - 1).astype(jnp.int32)
+    return dict(
+        tp=tp, rho=rho, r=r_s, c=c_i, visible=inb, valid_src=valid_src,
+        r0=r0, c0=c0, frac_r=frac_r, frac_c=frac_c,
+    )
 
 
 def _huber(err, scale):
@@ -230,12 +265,65 @@ def _residual_terms(
     h, w = trg_pack.shape[0], trg_pack.shape[1]
     wt = _warp_terms(pose, pts, valid_src, h, w, intr)
     r, c = wt["r"], wt["c"]
-    # One gather for all six target channels, addressed by flat linear index:
-    # TPU executes a row-gather from an (N, 6) operand ~4x faster than a 2D
-    # (r, c) gather from (H, W, 6), which forces a layout-change copy of the
-    # whole pack before every sweep.
-    lin = r * w + c
-    tvp = jnp.take(trg_pack.reshape(-1, 6), lin, axis=0)
+    nch = trg_pack.shape[-1]
+    if nch == 24:
+        # Validity-weighted bilinear target sampling (opt-in via
+        # DenseRegConfig.bilinear).  Still ONE row gather per sweep: the
+        # 24-wide pack rows carry the full 2x2 tap neighborhood (see
+        # _pack_target).  All six channels share ONE weight set derived
+        # from tap depth validity — a per-channel mix (photo bilinear,
+        # depth nearest) was measured WORSE than nearest from channel
+        # inconsistency (docs/PERFORMANCE.md).  Taps are dropped when
+        # depth-invalid; blending falls back to the nearest tap jointly
+        # when the weighted validity mass is low or the taps straddle a
+        # depth discontinuity (never interpolate across surfaces — the
+        # failure mode that inflated the depth-residual statistic in the
+        # rejected full-lerp experiment).
+        lin = wt["r0"] * w + wt["c0"]
+        tv24 = jnp.take(trg_pack.reshape(-1, 24), lin, axis=0)
+        taps = [tv24[..., 6 * i : 6 * i + 6] for i in range(4)]
+        fr, fc = wt["frac_r"], wt["frac_c"]
+        bw = [(1 - fr) * (1 - fc), (1 - fr) * fc, fr * (1 - fc), fr * fc]
+        dtap = [t[..., 1] for t in taps]
+        ew = [b * (d > 0) for b, d in zip(bw, dtap)]
+        s = ew[0] + ew[1] + ew[2] + ew[3]
+        # depth spread over taps that actually contribute weight
+        live = [e > 1e-6 for e in ew]
+        dmax = jnp.maximum(
+            jnp.maximum(jnp.where(live[0], dtap[0], -jnp.inf),
+                        jnp.where(live[1], dtap[1], -jnp.inf)),
+            jnp.maximum(jnp.where(live[2], dtap[2], -jnp.inf),
+                        jnp.where(live[3], dtap[3], -jnp.inf)),
+        )
+        dmin = jnp.minimum(
+            jnp.minimum(jnp.where(live[0], dtap[0], jnp.inf),
+                        jnp.where(live[1], dtap[1], jnp.inf)),
+            jnp.minimum(jnp.where(live[2], dtap[2], jnp.inf),
+                        jnp.where(live[3], dtap[3], jnp.inf)),
+        )
+        spread_ok = (dmax - dmin) <= jnp.maximum(
+            cfg.bilerp_depth_spread * dmax, 0.05
+        )
+        blend_ok = (s > 0.5) & spread_ok
+        blended = (
+            ew[0][..., None] * taps[0]
+            + ew[1][..., None] * taps[1]
+            + ew[2][..., None] * taps[2]
+            + ew[3][..., None] * taps[3]
+        ) / jnp.maximum(s, 1e-6)[..., None]
+        near = jnp.where(
+            (fr < 0.5)[..., None],
+            jnp.where((fc < 0.5)[..., None], taps[0], taps[1]),
+            jnp.where((fc < 0.5)[..., None], taps[2], taps[3]),
+        )
+        tvp = jnp.where(blend_ok[..., None], blended, near)
+    else:
+        # One gather for all six target channels, addressed by flat linear
+        # index: TPU executes a row-gather from an (N, 6) operand ~4x faster
+        # than a 2D (r, c) gather from (H, W, 6), which forces a
+        # layout-change copy of the whole pack before every sweep.
+        lin = r * w + c
+        tvp = jnp.take(trg_pack.reshape(-1, 6), lin, axis=0)
     tv = [tvp[..., k] for k in range(6)]
 
     if occlusion >= 1:
@@ -330,7 +418,8 @@ def _hess_grad(level_src, level_trg, pose, cfg, method, occlusion=0, intr=None):
     """Assemble the 6x6 normal equations (wrapper building hoistable terms)."""
     pts, valid_src = _src_points(level_src["depth"], cfg, intr)
     return _hess_grad_packed(
-        level_src["gray"], pts, valid_src, _pack_target(level_trg), pose, cfg,
+        level_src["gray"], pts, valid_src,
+        _pack_target(level_trg, cfg.bilinear, wrap=intr is None), pose, cfg,
         method, occlusion, intr,
     )
 
@@ -559,7 +648,7 @@ class DenseAligner:
             if self.intrinsics is None
             else scale_intrinsics(self.intrinsics, lvl)
         )
-        trg_pack = _pack_target(ltrg)
+        trg_pack = _pack_target(ltrg, cfg.bilinear, wrap=intr is None)
         pts, valid_src = _src_points(lsrc["depth"], cfg, intr)
 
         def one(pose):
@@ -604,7 +693,7 @@ class DenseAligner:
             if self.intrinsics is None
             else scale_intrinsics(self.intrinsics, lvl)
         )
-        trg_pack = _pack_target(ltrg)
+        trg_pack = _pack_target(ltrg, cfg.bilinear, wrap=intr is None)
         pts, valid_src = _src_points(lsrc["depth"], cfg, intr)
 
         def sweep(pose):
@@ -660,7 +749,7 @@ class DenseAligner:
                 if self.intrinsics is None
                 else scale_intrinsics(self.intrinsics, lvl)
             )
-            trg_pack = _pack_target(ltrg)
+            trg_pack = _pack_target(ltrg, cfg.bilinear, wrap=intr is None)
 
             # Salient-pixel sweeps (reference bUseSalientPixels, which gates
             # every pyramid level): at each level whose pixel count exceeds
@@ -747,8 +836,9 @@ class DenseAligner:
             )
             pts, valid_src = _src_points(lsrc["depth"], cfg, intr0)
             pose, err, _, ill, hess_out, stats = _gn_level(
-                lsrc["gray"], pts, valid_src, _pack_target(ltrg), pose, ill,
-                cfg, method, occlusion, intr0, cfg.polish_iters,
+                lsrc["gray"], pts, valid_src,
+                _pack_target(ltrg, cfg.bilinear, wrap=intr0 is None), pose,
+                ill, cfg, method, occlusion, intr0, cfg.polish_iters,
             )
             size = lsrc["gray"].size
 

@@ -51,6 +51,7 @@ _SLOW_TESTS = {
     "tests/test_calibration.py::TestControlPlanes::test_collect_from_real_frames",
     "tests/test_calibration.py::TestJointCalibration::test_recover_reference_rig",
     "tests/test_calibration.py::TestRealRecordedData::test_joint_rig_real_data",
+    "tests/test_dense.py::test_bilinear_beats_nearest_on_exact_geometry",
     "tests/test_dense.py::test_hessian_is_information",
     "tests/test_dense.py::test_identity_alignment",
     "tests/test_dense.py::test_real_samples_alignment",
@@ -88,6 +89,9 @@ _SLOW_TESTS = {
     "tests/test_slam.py::TestPbMapGraphSLAM::test_two_frames",
     "tests/test_slam.py::TestPoseGraph::test_ring_closes",
     "tests/test_slam.py::TestRealSLAM::test_two_frame_slam",
+    # depends on the class-scoped tracker populated by test_two_frame_slam
+    # (and takes ~13 s itself): must travel with it in the same subset
+    "tests/test_slam.py::TestRealSLAM::test_relocalize_against_map",
     "tests/test_slam.py::TestRobustDCS::test_dcs_pcg_matches_dense",
     "tests/test_slam_sequence.py::test_frame_to_frame_odometry_ate",
     "tests/test_slam_sequence.py::test_keyframe_slam_ate",

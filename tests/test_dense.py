@@ -153,3 +153,83 @@ def test_real_samples_alignment(calibration, sample_paths):
     dpose = np.asarray(se3.se3_log(se3.se3_inverse(res.pose) @ res_d.pose))
     assert np.linalg.norm(dpose[:3]) < 0.05, dpose
     assert np.linalg.norm(dpose[3:]) < 0.03, dpose
+
+
+# ---------------------------------------------------------- bilinear target
+
+def _box_room_sphere(h, w, origin, half_extents=(3.0, 1.4, 4.0)):
+    """Exact spherical depth + world-locked texture of an axis-aligned box
+    room seen from `origin` — geometrically consistent across viewpoints
+    with NO splat/render noise, so pairwise pose error isolates the target
+    sampling model (nearest vs validity-weighted bilinear)."""
+    rows, cols = np.arange(h), np.arange(w)
+    phi = (h / 2 - 0.5 - rows) * (2 * np.pi / w)
+    theta = cols * (2 * np.pi / w)
+    sp, cp = np.sin(phi)[:, None], np.cos(phi)[:, None]
+    st, ct = np.sin(theta)[None, :], np.cos(theta)[None, :]
+    v = np.stack([np.broadcast_to(sp, (h, w)), -cp * st, -cp * ct], axis=-1)
+    t_best = np.full((h, w), np.inf)
+    for ax in range(3):
+        for sign in (-1.0, 1.0):
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t = (sign * half_extents[ax] - origin[ax]) / v[..., ax]
+            t_best = np.minimum(
+                t_best, np.where((t > 1e-3) & np.isfinite(t), t, np.inf)
+            )
+    hit = origin[None, None, :] + t_best[..., None] * v
+    gray = (
+        0.5
+        + 0.2 * np.sin(2.7 * hit[..., 0])
+        + 0.18 * np.cos(3.1 * hit[..., 1] + 1.0)
+        + 0.15 * np.sin(2.3 * hit[..., 2] + 0.5)
+    )
+    return jnp.asarray(gray, jnp.float32), jnp.asarray(t_best, jnp.float32)
+
+
+def test_bilinear_identity_matches_nearest():
+    """At an exact integer warp (identity self-alignment) the
+    validity-weighted bilinear sampler must reduce to the nearest sampler:
+    all blend weight sits on tap (0, 0)."""
+    from dataclasses import replace
+
+    gray, depth = _make_synthetic_sphere(h=48, w=288)
+    base = DenseRegConfig(pyramid_levels=2, sal_intensity=0.0, sal_depth=0.0)
+    poses = {}
+    for bil in (False, True):
+        cfg = replace(base, bilinear=bil)
+        pyr = build_frame_pyramid(gray, depth, cfg)
+        res = DenseAligner(cfg).align(pyr, pyr, method=PHOTO_DEPTH)
+        assert not bool(res.ill_posed)
+        np.testing.assert_allclose(np.asarray(res.pose), np.eye(4), atol=1e-3)
+        poses[bil] = np.asarray(res.pose)
+    np.testing.assert_allclose(poses[True], poses[False], atol=1e-5)
+
+
+def test_bilinear_beats_nearest_on_exact_geometry():
+    """Validity-weighted bilinear target sampling must (a) reduce the
+    pairwise pose error vs nearest rounding, and (b) keep the depth-residual
+    statistic HEALTHY — the naive full-lerp implementation blended across
+    invalid pixels and depth discontinuities and inflated it ~10x
+    (docs/PERFORMANCE.md), which would break every residual-gated policy
+    (KF selection, LC verification, loss detection)."""
+    from dataclasses import replace
+
+    origin0 = np.array([0.0, 0.0, 0.0])
+    origin1 = np.array([0.06, 0.01, 0.04])
+    g0, d0 = _box_room_sphere(80, 480, origin0)
+    g1, d1 = _box_room_sphere(80, 480, origin1)
+    base = DenseRegConfig(pyramid_levels=3)
+    err, avd = {}, {}
+    for bil in (False, True):
+        cfg = replace(base, bilinear=bil)
+        p0 = build_frame_pyramid(g0, d0, cfg)
+        p1 = build_frame_pyramid(g1, d1, cfg)
+        res = DenseAligner(cfg).align(p0, p1, method=PHOTO_DEPTH)
+        assert not bool(res.ill_posed)
+        t = np.asarray(res.pose)[:3, 3]
+        # camera 1 sees camera 0's scene shifted by -(origin1 - origin0)
+        err[bil] = np.linalg.norm(t + (origin1 - origin0))
+        avd[bil] = float(res.av_depth_residual)
+    assert err[True] < err[False], (err, avd)
+    assert err[True] < 0.002, (err, avd)
+    assert avd[True] < avd[False], avd
