@@ -86,9 +86,8 @@ def main(argv=None):
 
     cfg_bl = _dc_replace(cfg, bilinear=True)
     al_bl = D.DenseAligner(cfg_bl)
-    pb1 = D.build_frame_pyramid(f1.sphere_gray, f1.sphere_depth, cfg_bl, seam)
-    pb2 = D.build_frame_pyramid(f2.sphere_gray, f2.sphere_depth, cfg_bl, seam)
-    res, ms = bench("dense_bilerp", lambda: al_bl.align(pb2, pb1, method=D.PHOTO_DEPTH))
+    # pyramids do not depend on the bilinear flag — reuse the ones above
+    res, ms = bench("dense_bilerp", lambda: al_bl.align(p2, p1, method=D.PHOTO_DEPTH))
     results["dense_bilerp"] = (
         np.asarray(res.pose), ms,
         f"avd={float(res.av_depth_residual):.2f} sso={float(res.sso):.2f}",

@@ -259,6 +259,10 @@ class KeyframeConfig:
     # this gate exists for data that explains nothing (sensor corruption,
     # saturating noise) while the solve stays continuous.
     lost_residual_factor: float = 4.0
+    # Seeded dense solves whose final mean residual exceeds this are suspect
+    # enough to warrant the next seed in the fallback chain (bad PbMap seeds
+    # land in high-error local minima; well-seeded solves sit well below).
+    fallback_error: float = 3.0
 
 
 @dataclass(frozen=True)

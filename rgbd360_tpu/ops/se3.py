@@ -176,3 +176,24 @@ def pose_distance(t_a: jnp.ndarray, t_b: jnp.ndarray):
         jnp.swapaxes(t_a[..., :3, :3], -1, -2) @ t_b[..., :3, :3]
     )
     return dt, dr
+
+
+def yaw_grid(n: int = 16):
+    """(n, 4, 4) float64 numpy grid of rotations about the rig's vertical
+    axis (x on the sphere — rays are (sin phi, ...), reference
+    `include/Frame360.h:589-593`), evenly covering [0, 2*pi).
+
+    Shared by every heading-hypothesis rescue: tracking seed recovery,
+    loop-closure verification, and relocalization (yaw is the dominant
+    ambiguity on the spherical rig — geometry repeats under heading error
+    while the vertical stays pinned by gravity-aligned structure)."""
+    import numpy as _np
+
+    a = (2 * _np.pi / n) * _np.arange(n)
+    g = _np.tile(_np.eye(4), (n, 1, 1))
+    c, s = _np.cos(a), _np.sin(a)
+    g[:, 1, 1] = c
+    g[:, 1, 2] = -s
+    g[:, 2, 1] = s
+    g[:, 2, 2] = c
+    return g

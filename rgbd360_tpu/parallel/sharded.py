@@ -57,13 +57,19 @@ def make_mesh(n_devices: int | None = None, axis: str = "kf") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
-# TPU lowers svd/eigh to iterative algorithms whose internal while_loops
-# carry unvarying scalar bools; under shard_map's manual axes the static
-# varying-manual-axes check rejects those carries even though the program is
-# correct (no cross-shard dependence).  The collective structure of every
-# shard_map below is instead verified numerically against the unsharded
-# reference path in tests/test_parallel.py.
-_shard_map = partial(shard_map, check_vma=False)
+# TPU lowers svd (and other linalg it implements as JAX-level iterations)
+# to while_loops carrying unvarying scalar bools; under shard_map's manual
+# axes the static varying-manual-axes check rejects those carries even
+# though the program is correct (no cross-shard dependence).  The check is
+# therefore disabled ONLY for the programs that carry such linalg in their
+# bodies (`_shard_map_linalg`, currently the plane scan's SVD pose solve);
+# every other sharded program keeps the static check (`_shard_map`).  The
+# collective structure of all of them is additionally verified numerically
+# against the unsharded reference path in tests/test_parallel.py, and
+# tests/test_parallel.py::test_checked_shard_maps_trace_with_vma guards the
+# scoping.
+_shard_map = shard_map
+_shard_map_linalg = partial(shard_map, check_vma=False)
 
 
 # ------------------------------------------------------------- plane scan
@@ -93,7 +99,7 @@ def sharded_plane_scan(
 
         return jax.vmap(one)(map_shard, gate_shard)
 
-    fn = _shard_map(
+    fn = _shard_map_linalg(  # pose_from_matches carries an SVD
         local,
         mesh=mesh,
         in_specs=(P("kf"), P("kf"), P()),
@@ -370,7 +376,10 @@ def distributed_pose_graph_pcg(
         chi2_new = jax.lax.psum(_edge_terms(new_poses, g_local, dcs)[2], "kf")
         return new_poses, chi2, chi2_new
 
-    step = _shard_map(
+    # linalg-exempt: the replicated outputs come out of all_gather/psum, but
+    # the static check cannot infer replication through _pcg_sharded's
+    # while_loop carries and the 6x6 jnp.linalg.inv
+    step = _shard_map_linalg(
         local_lm_step,
         mesh=mesh,
         in_specs=(P(), P(), P("kf"), P("kf"), P("kf"), P("kf"), P("kf"), P("kf")),

@@ -229,6 +229,14 @@ def _warp_terms(pose, pts, valid_src, h, w, intr=None):
     c0f = jnp.floor(cf)
     frac_r = jnp.clip(rf - r0f, 0.0, 1.0)
     frac_c = jnp.clip(cf - c0f, 0.0, 1.0)
+    # Where the floor coordinate was clipped into the grid (continuous
+    # coordinate in [-0.5, 0): top image row; top/left edge pinhole), the
+    # fraction must collapse to 0 so the blend does not shift the sample a
+    # pixel inward of the nearest sampler's round() position.  Spherical
+    # columns wrap (cf already in [0, w)), so the column fix only bites on
+    # the pinhole path.
+    frac_r = jnp.where(r0f < 0, 0.0, frac_r)
+    frac_c = jnp.where(c0f < 0, 0.0, frac_c)
     r0 = jnp.clip(r0f, 0, h - 1).astype(jnp.int32)
     c0 = jnp.clip(c0f, 0, w - 1).astype(jnp.int32)
     return dict(
@@ -328,10 +336,14 @@ def _residual_terms(
 
     if occlusion >= 1:
         # scatter-min z-buffer on the target grid; a projecting point that
-        # is farther than the winner at its pixel is occluded
+        # is farther than the winner at its pixel is occluded.  Binned by
+        # the NEAREST pixel index in both sampling modes so occlusion
+        # semantics stay identical and only target sampling differs (the
+        # bilinear gather's floor-cell index can sit ~1.4 px away).
+        lin_near = r * w + c
         rho_w = jnp.where(wt["visible"], wt["rho"], jnp.inf)
-        zbuf = jnp.full((h * w,), jnp.inf).at[lin].min(rho_w)
-        occluded = wt["rho"] > zbuf[lin] + 0.05
+        zbuf = jnp.full((h * w,), jnp.inf).at[lin_near].min(rho_w)
+        occluded = wt["rho"] > zbuf[lin_near] + 0.05
         wt["visible"] = wt["visible"] & ~occluded
 
     out = dict(visible=wt["visible"], tp=wt["tp"], rho=wt["rho"])

@@ -147,7 +147,11 @@ class RigDenseAligner:
             ltrg = self._level_arrays(trg, lvl)
             intr = scale_intrinsics(self.k, lvl)
             pts, valid = jax.vmap(lambda d: _src_points(d, cfg, intr))(lsrc["depth"])
-            trg_pack = _pack_target(ltrg)  # (S, H, W, 6)
+            # (S, H, W, 6) — or (S, H, W, 24) when cfg.bilinear: the tap
+            # packing is per-sensor (vmap) with pinhole edge-clamp columns
+            trg_pack = jax.vmap(
+                lambda t: _pack_target(t, cfg.bilinear, wrap=False)
+            )(ltrg)
             src_gray = lsrc["gray"]
 
             def cond(carry):

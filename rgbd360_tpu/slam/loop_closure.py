@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from rgbd360_tpu.config import FrameworkConfig
+from rgbd360_tpu.ops import se3
 from rgbd360_tpu.ops.segmentation import PlaneSet
 from rgbd360_tpu.registration import dense as D
 from rgbd360_tpu.registration.planes import (
@@ -233,14 +234,7 @@ class LoopCloser:
                 # heading rescue: the plane seed may be yaw-aliased —
                 # coarse-GN-refine left-composed yaw hypotheses in one
                 # vmapped batch and fully verify only the best
-                a = (2 * np.pi / 16) * np.arange(16)
-                yaws = np.tile(np.eye(4), (16, 1, 1))
-                c, sn = np.cos(a), np.sin(a)
-                yaws[:, 1, 1] = c
-                yaws[:, 1, 2] = -sn
-                yaws[:, 2, 1] = sn
-                yaws[:, 2, 2] = c
-                cands = yaws @ np.asarray(pose[k])[None]
+                cands = se3.yaw_grid(16) @ np.asarray(pose[k])[None]
                 refined, errs = jax.device_get(
                     self._aligner.coarse_align(q_pyr, kf_pyr, jnp.asarray(cands))
                 )

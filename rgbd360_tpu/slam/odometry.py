@@ -104,11 +104,6 @@ class TrackerBase:
             planes = self.builder.segment_planes(sphere)
         return FrameState(sphere=sphere, pyramid=pyramid, planes=planes)
 
-    # Seeded solves whose final mean residual exceeds this are suspect
-    # enough to warrant a second solve from identity (bad PbMap seeds land
-    # in high-error local minima; well-seeded solves sit well below this).
-    FALLBACK_ERROR = 3.0
-
     def align_with_fallback(self, src_pyr, trg_pyr, seeds, prev_rel=None):
         """Dense alignment tried from a priority-ordered seed chain.
 
@@ -157,7 +152,7 @@ class TrackerBase:
                 kf_cfg.max_translation_odometry,
                 kf_cfg.max_rotation_odometry,
             )
-            accepted = good and float(res.error) < self.FALLBACK_ERROR
+            accepted = good and float(res.error) < kf_cfg.fallback_error
             if good and (best is None or float(res.error) < float(best.error)):
                 best = res
             last = res
@@ -173,14 +168,7 @@ class TrackerBase:
             # dominant ambiguity is heading — score a yaw grid about the
             # vertical axis with ONE vmapped coarsest-level sweep and
             # full-align from the best two hypotheses not already tried.
-            n = 16
-            a = (2 * np.pi / n) * np.arange(n)
-            cands = np.tile(np.eye(4), (n, 1, 1))
-            c, sn = np.cos(a), np.sin(a)
-            cands[:, 1, 1] = c
-            cands[:, 1, 2] = -sn
-            cands[:, 2, 1] = sn
-            cands[:, 2, 2] = c
+            cands = se3.yaw_grid(16)
             refined, errs = fetch(
                 self.aligner.coarse_align(src_pyr, trg_pyr, jnp.asarray(cands))
             )
@@ -612,13 +600,7 @@ class KeyframeSLAM(TrackerBase):
                     # so sweep THREE yaw-hypothesis families (left-composed,
                     # right-composed, and pure yaw about the KF) in one
                     # coarsest-level batch, then dense-verify the best few.
-                    a = (2 * np.pi / 16) * np.arange(16)
-                    yaws = np.tile(np.eye(4), (16, 1, 1))
-                    c, sn = np.cos(a), np.sin(a)
-                    yaws[:, 1, 1] = c
-                    yaws[:, 1, 2] = -sn
-                    yaws[:, 2, 1] = sn
-                    yaws[:, 2, 2] = c
+                    yaws = se3.yaw_grid(16)
                     pb = np.asarray(r.pose)[None]
                     cands = np.concatenate([yaws @ pb, pb @ yaws, yaws])
                     refined, errs = fetch(

@@ -236,3 +236,21 @@ def test_keyframe_slam_sharded_matches_single(mesh, calibration, sample_paths):
         np.asarray(b.map.opt_poses[: int(b.map.n_kf)]),
         atol=5e-3,
     )
+
+
+def test_checked_shard_maps_trace_with_vma():
+    """The varying-manual-axes static check must stay ON for every sharded
+    program except the two documented linalg-bearing exemptions (the plane
+    scan's SVD pose solve and the PCG step's while_loop/inv carries)."""
+    import jax
+    from rgbd360_tpu.parallel import sharded as S
+
+    assert S._shard_map is jax.shard_map
+    assert S._shard_map_linalg.keywords == {"check_vma": False}
+    # exemptions are exactly the two documented sites
+    import inspect
+
+    src = inspect.getsource(S)
+    assert src.count("_shard_map_linalg(") == 2 + src.count(
+        "partial(shard_map, check_vma=False)"
+    ) - 1  # 2 call sites + the definition line
