@@ -321,3 +321,143 @@ def test_load_rawlog_app(tmp_path):
     err = np.abs(back.rgb.astype(np.int32) - raw.rgb.astype(np.int32))
     assert err.mean() < 3.0  # JPEG-carried color (see test_rig_frame_roundtrip)
     np.testing.assert_array_equal(back.depth_mm, raw.depth_mm)
+
+
+class TestAdversarial:
+    """Negative/adversarial codec probes (docs/MRPT_WIRE.md): a wrong layout
+    derivation must fail LOUDLY — truncation, external storage, version
+    probes, corrupt end flags, and format-#1 action-object interleaving."""
+
+    @staticmethod
+    def _frame(name: bytes, version: int, payload: bytes) -> bytes:
+        return (
+            bytes([0x80 | len(name)]) + name + bytes([version & 0xFF])
+            + payload + b"\x88"
+        )
+
+    def test_truncated_stream_raises(self, tmp_path):
+        rng = np.random.default_rng(7)
+        import io as _io
+
+        buf = _io.BytesIO()
+        R._write_object(
+            R._Writer(buf), "CObservation3DRangeScan", _rand_obs(rng, "RGBD1", 5)
+        )
+        wire = buf.getvalue()
+        for cut in (len(wire) // 4, len(wire) // 2, len(wire) - 1):
+            path = tmp_path / f"cut{cut}.rawlog"
+            path.write_bytes(wire[:cut])
+            with pytest.raises(R.RawlogError):
+                list(R.read_rawlog(path))
+
+    def test_external_storage_cimage_refused(self, tmp_path):
+        import struct
+
+        payload = b"\x01" + struct.pack("<I", 8) + b"img_0001"  # external + file
+        wire = self._frame(b"CImage", 7, payload)
+        import io as _io
+
+        with pytest.raises(R.RawlogError, match="external storage"):
+            R._read_object(R._Reader(_io.BytesIO(wire)))
+
+    def test_external_storage_obs3d_markers_refused(self):
+        """v>=3 external points3D / rangeImage markers refuse loudly."""
+        import io as _io
+
+        rng = np.random.default_rng(11)
+        o = _rand_obs(rng, "RGBD1", 9)
+        buf = _io.BytesIO()
+        R._write_object(R._Writer(buf), "CObservation3DRangeScan", o)
+        wire = bytearray(buf.getvalue())
+        # the external markers are [B0 str "" B0 str ""] right after the
+        # label; find the label and flip the first marker byte
+        lbl = b"RGBD1"
+        i = bytes(wire).find(lbl) + len(lbl)
+        assert wire[i] == 0
+        wire[i] = 1
+        wire[i + 1 : i + 1] = struct_pack_str("pts_ext")
+        with pytest.raises(R.RawlogError, match="externally"):
+            R._read_object(R._Reader(_io.BytesIO(bytes(wire))))
+
+    @pytest.mark.parametrize(
+        "cls,supported",
+        sorted((k, v) for k, v in R._SUPPORTED_VERSIONS.items()),
+    )
+    def test_version_probes_never_misparse(self, cls, supported):
+        """Every version outside the supported range must raise
+        UnsupportedVersionError BEFORE any payload bytes are consumed — a
+        probe across the full i8 range can never silently misparse."""
+        import io as _io
+
+        name = cls.encode()
+        for ver in list(range(-3, 35)) + [100, 127, -128]:
+            if ver in supported:
+                continue
+            wire = bytes([0x80 | len(name)]) + name + struct_pack_i8(ver)
+            with pytest.raises(R.UnsupportedVersionError):
+                R._read_object(R._Reader(_io.BytesIO(wire)))
+
+    def test_corrupt_end_flag_names_object(self):
+        import io as _io
+        import struct
+
+        payload = struct.pack("<II", 1, 1) + struct.pack("<f", 2.0)
+        wire = (
+            bytes([0x80 | len(b"CMatrix")]) + b"CMatrix" + bytes([0])
+            + payload + b"\x00"  # corrupt end flag
+        )
+        with pytest.raises(R.RawlogError, match="CMatrix"):
+            R._read_object(R._Reader(_io.BytesIO(wire)))
+
+    def test_format1_multiple_action_objects(self, tmp_path):
+        """A format-#1 stream interleaving SEVERAL unknown action objects
+        (CActionCollection + CActionRobotMovement2D framings with arbitrary
+        payload bytes) between sensory frames still yields every
+        observation via resync."""
+        import io as _io
+        import struct
+
+        rng = np.random.default_rng(13)
+
+        def action_blob(name: bytes, junk: bytes) -> bytes:
+            return bytes([0x80 | len(name)]) + name + bytes([1]) + junk + b"\x88"
+
+        def sensory_frame(obs_list) -> bytes:
+            inner = _io.BytesIO()
+            w = R._Writer(inner)
+            for o in obs_list:
+                R._write_object(w, "CObservation3DRangeScan", o)
+            nm = b"CSensoryFrame"
+            return (
+                bytes([0x80 | len(nm)]) + nm + bytes([2])
+                + struct.pack("<I", len(obs_list)) + inner.getvalue() + b"\x88"
+            )
+
+        stream = b""
+        want = []
+        for k in range(3):
+            stream += action_blob(
+                b"CActionCollection", rng.bytes(17 + 5 * k)
+            )
+            stream += action_blob(b"CActionRobotMovement2D", rng.bytes(33))
+            obs = [_rand_obs(rng, f"RGBD{i+1}", 100 * k + i) for i in range(2)]
+            want += [o.sensor_label + str(o.timestamp) for o in obs]
+            stream += sensory_frame(obs)
+        path = tmp_path / "fmt1_multi.rawlog"
+        with gzip.open(path, "wb") as f:
+            f.write(stream)
+        got = [o.sensor_label + str(o.timestamp) for o in R.read_rawlog(path)]
+        assert got == want
+
+
+def struct_pack_str(s: str) -> bytes:
+    import struct
+
+    b = s.encode()
+    return struct.pack("<I", len(b)) + b
+
+
+def struct_pack_i8(v: int) -> bytes:
+    import struct
+
+    return struct.pack("<b", v)
