@@ -1,6 +1,6 @@
 """Benchmark: full spherical registration pipeline throughput on one chip,
-plus a per-stage breakdown so round-over-round regressions are machine
-visible.
+plus a per-stage breakdown with roofline accounting and a MEASURED run of
+the production SLAM tracker.
 
 Headline metric - the per-frame cost of the flagship pipeline: raw rig
 capture (device-resident u8 RGB / u16 depth) -> undistort -> stitch ->
@@ -15,17 +15,21 @@ configuration used by sequence registration: the stitch gather indices are
 calibration-fixed, so 4 frames stitch with ONE per-row latency-bound gather
 (`ops/stitch.stitch_batch`), and the GN pyramids/levels vmap.  Batched poses
 are bit-identical to the single-stream path (tested); every frame's pose is
-read back and consumed - nothing can be elided or overlapped away.  The
-single-stream (latency-oriented) figure is ~130 fps; see BASELINE.md.
+read back and consumed - nothing can be elided or overlapped away.
 
 Per-stage metrics (the BASELINE.md measured table, emitted as JSON): frame
-build, pyramid build, 8-sensor plane segmentation, full dense alignment, and
-pose-graph BA dense/PCG iteration rates.  Each stage entry carries an
-`attribution` string naming the bounding resource (gather latency, MXU,
-HBM bandwidth) so a regression points at the violated budget, not just a
-number.  Stage loops are `lax.scan`s with data dependencies, so XLA cannot
-elide or overlap the repeats; the scan amortizes the harness tunnel's fixed
-~30 ms dispatch round trip to noise.
+build, pyramid build, plane segmentation (single and batch-4), full dense
+alignment, pose-graph BA dense/PCG rates, the batch-4 pipeline, and a
+MEASURED sequential run of the real `KeyframeSLAM` tracker.  Each stage
+entry carries an `attribution` string naming the bounding resource AND a
+`bound` object with the numeric roofline: the hardware floor implied by the
+stage's work (gather rows x the measured ~5 ns/row latency floor, HBM
+bytes / 819 GB/s, MXU FLOPs / ~33 TF f32-HIGHEST) and
+`achieved_fraction = floor / measured` - 1.0 means the stage sits on its
+roofline; a small fraction names headroom (usually per-kernel dispatch
+overhead at these small shapes), so regressions AND opportunities are
+machine-visible.  Stage loops are `lax.scan`s with data dependencies, so
+XLA cannot elide or overlap the repeats.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "stages"}.
 
@@ -44,6 +48,22 @@ import numpy as np
 
 REF_CPU_FPS = 2.04  # measured on this host, see BASELINE.md
 BATCH = 4
+
+# ---- v5e roofline constants (docs/PERFORMANCE.md) -------------------------
+GATHER_MS_PER_ROW = 5.0e-6  # measured flat-row gather latency floor
+HBM_GBPS = 819.0  # v5e HBM bandwidth
+MXU_F32_TFLOPS = 33.0  # f32-HIGHEST (6-pass bf16) effective MXU peak
+
+
+def _bound(resource, floor_ms, measured_ms, peak_desc):
+    return {
+        "resource": resource,
+        "peak": peak_desc,
+        "floor_ms": round(floor_ms, 4),
+        "achieved_fraction": round(
+            min(1.0, floor_ms / max(measured_ms, 1e-9)), 4
+        ),
+    }
 
 
 def _bench_pipeline(builder, raw1, raw2, cfg, aligner, trg_pyr, seam_valid):
@@ -109,6 +129,35 @@ def _scan_time_ms(make_step, init_carry, k, consume):
     return best * 1000.0
 
 
+def _pyramid_floor_ms(h, w, levels):
+    """Roofline floor of the pyramid stage: max(MXU FLOPs, HBM bytes) over
+    all levels x {gray, depth} pyrDown banded matmuls + gradient passes."""
+    flops = 0.0
+    bytes_ = 0.0
+    hh, ww = h, w
+    for _ in range(levels - 1):
+        # banded matmuls A(h/2, h) @ img(h, w) @ B(w, w/2), two channels
+        flops += 2 * (hh / 2 * hh * ww + hh / 2 * ww * ww / 2) * 2
+        bytes_ += 2 * (hh * ww + hh / 2 * ww / 2) * 4
+        hh, ww = hh // 2, ww // 2
+    # gradients: 4 output arrays per level, ~4 elementwise passes each
+    hh, ww = h, w
+    for _ in range(levels):
+        bytes_ += 4 * 4 * hh * ww * 4
+        hh, ww = hh // 2, ww // 2
+    flop_ms = flops / (MXU_F32_TFLOPS * 1e12) * 1e3
+    bw_ms = bytes_ / (HBM_GBPS * 1e9) * 1e3
+    return max(flop_ms, bw_ms)
+
+
+def _segmentation_floor_ms(s, h, w, cc_iters):
+    """HBM floor of segmentation: cc_iters min-scan passes over the
+    per-sensor label grids (~6 array touches each) + normal/moment passes."""
+    px = s * h * w
+    bytes_ = cc_iters * 6 * px * 4 + 30 * px * 4
+    return bytes_ / (HBM_GBPS * 1e9) * 1e3
+
+
 def _bench_stages(builder, raw1, raw2, cfg, aligner, trg_pyr, seam_valid):
     """Per-stage table (the BASELINE.md measured rows, as JSON)."""
     from rgbd360_tpu.registration import dense as D
@@ -117,6 +166,8 @@ def _bench_stages(builder, raw1, raw2, cfg, aligner, trg_pyr, seam_valid):
     params = builder._params
     rgb = jnp.stack([jnp.asarray(r.rgb) for r in (raw1, raw2)])
     depth = jnp.stack([jnp.asarray(r.depth_mm) for r in (raw1, raw2)])
+    sph_cfg = builder.config.sphere
+    sphere_rows = sph_cfg.height * sph_cfg.width
 
     # ---- frame build (undistort + stitch + gray): alternate the two real
     # captures; the carry picks which input feeds the next iteration
@@ -127,14 +178,18 @@ def _bench_stages(builder, raw1, raw2, cfg, aligner, trg_pyr, seam_valid):
         )
         return carry + 1 + (sg[0, 0, 0] * 0).astype(jnp.int32)
 
+    build_ms = _scan_time_ms(build_step, jnp.int32(0), 32, lambda o: np.asarray(o))
     stages["frame_build"] = {
-        "value": round(_scan_time_ms(build_step, jnp.int32(0), 32,
-                                     lambda o: np.asarray(o)), 3),
+        "value": round(build_ms, 3),
         "unit": "ms/frame",
         "attribution": (
             "614k-row stitch gather at the ~5 ns/row TPU gather latency "
             "floor (docs/PERFORMANCE.md); undistort and gray are fused "
             "elementwise"
+        ),
+        "bound": _bound(
+            "gather-row latency", sphere_rows * GATHER_MS_PER_ROW, build_ms,
+            "5 ns/row flat-index gather",
         ),
     }
 
@@ -147,13 +202,19 @@ def _bench_stages(builder, raw1, raw2, cfg, aligner, trg_pyr, seam_valid):
         )
         return carry + pyr.gray[-1][0, 0] * 0
 
+    pyr_ms = _scan_time_ms(pyr_step, f1.sphere_gray, 32, lambda o: np.asarray(o))
+    pyr_floor = _pyramid_floor_ms(sph_cfg.height, sph_cfg.width, cfg.pyramid_levels)
     stages["pyramid_build"] = {
-        "value": round(_scan_time_ms(pyr_step, f1.sphere_gray, 32,
-                                     lambda o: np.asarray(o)), 3),
+        "value": round(pyr_ms, 3),
         "unit": "ms/frame",
         "attribution": (
-            "banded-matmul pyrDown + 0/1-matmul depth block sums (MXU, "
-            "zero gathers); bandwidth-bound at 614k px"
+            "banded-matmul pyrDown + 0/1-matmul depth block sums (MXU, zero "
+            "gathers); the gap to the arithmetic floor is per-kernel "
+            "overhead on the small upper levels"
+        ),
+        "bound": _bound(
+            "MXU flops / HBM bytes", pyr_floor, pyr_ms,
+            f"{MXU_F32_TFLOPS} TF f32-HIGHEST, {HBM_GBPS} GB/s",
         ),
     }
 
@@ -169,18 +230,47 @@ def _bench_stages(builder, raw1, raw2, cfg, aligner, trg_pyr, seam_valid):
         return carry + ps.area[0] * 0
 
     # k=32: at k=8 the harness tunnel's fixed ~30 ms dispatch+readback
-    # round trip leaked ~4 ms/frame into this stage (measured 10-14 ms vs
-    # ~4.5 ms true chip time)
+    # round trip leaked ~4 ms/frame into this row
     seg_ms = _scan_time_ms(
         seg_step, sph1.local_xyz, 32, lambda o: np.asarray(o)
     )
+    s_, hc, wc = sph1.cloud_valid.shape
+    seg_floor = _segmentation_floor_ms(s_, hc, wc, builder.config.seg.cc_iters)
+    seg_bound_desc = f"{HBM_GBPS} GB/s HBM"
     stages["segmentation"] = {
         "value": round(seg_ms, 3),
         "unit": "ms/frame",
         "attribution": (
-            "Hillis-Steele segmented min-scan CC labeling + label "
-            "histogram/moment sums as MXU matmuls; zero gathers/scatters"
+            "Hillis-Steele segmented min-scan CC labeling + label histogram/"
+            "moment sums as MXU matmuls; zero gathers/scatters — per-kernel "
+            "dispatch overhead on 8x120x160 arrays dominates at B=1 "
+            "(see segmentation_batch4)"
         ),
+        "bound": _bound("HBM bytes", seg_floor, seg_ms, seg_bound_desc),
+    }
+
+    # ---- plane segmentation batched over 4 frames (the B=4 pipeline's
+    # missing stage in round 2): same kernels, batch axis amortizes the
+    # per-kernel overhead
+    lx4 = jnp.stack([sph1.local_xyz] * BATCH)
+    cr4 = jnp.stack([sph1.cloud_rgb] * BATCH)
+    cv4 = jnp.stack([sph1.cloud_valid] * BATCH)
+
+    def seg4_step(carry):
+        ps = jax.vmap(
+            lambda a: builder._segment_impl(rt_p, a, cr4[0], cv4[0])
+        )(carry)
+        return carry + ps.area[0, 0] * 0
+
+    seg4_ms = _scan_time_ms(seg4_step, lx4, 16, lambda o: np.asarray(o)) / BATCH
+    stages["segmentation_batch4"] = {
+        "value": round(seg4_ms, 3),
+        "unit": "ms/frame",
+        "attribution": (
+            "segment_planes vmapped over a 4-frame batch: identical kernels, "
+            "4x the work per dispatch"
+        ),
+        "bound": _bound("HBM bytes", seg_floor, seg4_ms, seg_bound_desc),
     }
 
     # ---- full dense alignment (5 levels, PHOTO_DEPTH, dense sweeps)
@@ -189,7 +279,7 @@ def _bench_stages(builder, raw1, raw2, cfg, aligner, trg_pyr, seam_valid):
     dense_cfg = DenseRegConfig()
     dense_al = D.DenseAligner(dense_cfg)
     src_pyr = D.build_frame_pyramid(
-        f1.sphere_gray, f1.sphere_depth, dense_cfg, seam_valid
+        f1.sphere_gray, f1.sphere_depth, cfg, seam_valid
     )
 
     def align_step(carry):
@@ -197,13 +287,28 @@ def _bench_stages(builder, raw1, raw2, cfg, aligner, trg_pyr, seam_valid):
         # feed the solved pose back as the next seed: a real dependency
         return res.pose
 
+    align_ms = _scan_time_ms(align_step, jnp.eye(4), 32, lambda o: np.asarray(o))
+    # rows actually gathered: (iters + 1 converged re-eval) sweeps per level
+    res_probe = dense_al._align_impl(src_pyr, trg_pyr, jnp.eye(4), D.PHOTO_DEPTH)
+    iters = np.asarray(res_probe.iters)
+    lvl_px = [
+        sphere_rows / 4**lvl for lvl in range(dense_cfg.pyramid_levels)
+    ]
+    align_rows = sum(
+        (int(iters[lvl]) + 1) * lvl_px[lvl]
+        for lvl in range(dense_cfg.pyramid_levels)
+    )
     stages["dense_align"] = {
-        "value": round(_scan_time_ms(align_step, jnp.eye(4), 32,
-                                     lambda o: np.asarray(o)), 3),
+        "value": round(align_ms, 3),
         "unit": "ms/align",
         "attribution": (
             "GN sweeps are per-row gather-latency-bound (flat-index target "
             "gather); H/g assembly rides the MXU"
+        ),
+        "bound": _bound(
+            "gather-row latency", align_rows * GATHER_MS_PER_ROW, align_ms,
+            f"5 ns/row over {int(align_rows)} gathered rows "
+            f"(measured per-level iters {iters.tolist()})",
         ),
     }
 
@@ -251,19 +356,28 @@ def _bench_stages(builder, raw1, raw2, cfg, aligner, trg_pyr, seam_valid):
         emask=jnp.asarray(emask),
     )
 
-    for name, fn, iters in (
-        ("ba_dense_lm", optimize_pose_graph, 10),
-        ("ba_pcg", optimize_pose_graph_pcg, 10),
+    # dense LM roofline: the (6N)^3/3 LU solve per iteration on the MXU
+    lm_floor_ms = ((6 * n_v) ** 3 / 3) / (MXU_F32_TFLOPS * 1e12) * 1e3
+    # PCG roofline: ~100 inner CG matvecs x edge sweep bytes per LM iter
+    pcg_floor_ms = (
+        100 * n_e * (36 + 12) * 4 * 2 / (HBM_GBPS * 1e9) * 1e3
+    )
+    for name, fn, iters_n, floor_ms, desc in (
+        ("ba_dense_lm", optimize_pose_graph, 10, lm_floor_ms,
+         "MXU f32 LU of the (6N)^2 system"),
+        ("ba_pcg", optimize_pose_graph_pcg, 10, pcg_floor_ms,
+         "HBM bytes of ~100 CG edge sweeps/iter"),
     ):
-        out = fn(graph, iters)  # compile + warm
+        out = fn(graph, iters_n)  # compile + warm
         jax.block_until_ready(out[0])
         reps, t0 = 3, time.time()
         for _ in range(reps):
-            out = fn(graph, iters)
+            out = fn(graph, iters_n)
         jax.block_until_ready(out[0])
         n_it = max(int(out[2]), 1)
+        rate = reps * n_it / (time.time() - t0)
         stages[name] = {
-            "value": round(reps * n_it / (time.time() - t0), 3),
+            "value": round(rate, 3),
             "unit": f"LM iters/sec ({n_v} KF, {n_e} edges)",
             "attribution": (
                 "dense (N,N,6,6) assembly + one MXU solve per iter"
@@ -271,7 +385,76 @@ def _bench_stages(builder, raw1, raw2, cfg, aligner, trg_pyr, seam_valid):
                 else "matrix-free block-Jacobi PCG; HBM-bandwidth-bound "
                 "edge sweeps"
             ),
+            "bound": _bound(
+                "MXU flops" if name == "ba_dense_lm" else "HBM bytes",
+                floor_ms, 1000.0 / rate, desc,
+            ),
         }
+    return stages
+
+
+def _bench_slam_frontend(builder, stages):
+    """MEASURED production tracker: N sequential frames of the REAL
+    `KeyframeSLAM.process(raw)` (fused single-dispatch tracking path) on a
+    rendered full-resolution sequence, keyframe events amortized.
+
+    This is the number the round-2 review asked to replace the derived one:
+    the per-frame wall time of the actual tracker loop, host logic, fetches
+    and all.  On this harness every dispatch+fetch pays a fixed ~30 ms
+    TUNNEL round trip that does not exist on a directly-attached TPU host,
+    so the stage also reports the measured empty-dispatch round trip and
+    the tunnel-corrected rate (raw_ms - roundtrips_per_frame * tunnel_ms)."""
+    from rgbd360_tpu.apps.grabber import synth_capture, synth_trajectory_poses
+    from rgbd360_tpu.slam.odometry import KeyframeSLAM
+
+    rt = np.asarray(builder.rt, np.float64)
+    n = 48
+    gt = synth_trajectory_poses("loop", n, radius=0.8)
+    raws = [
+        synth_capture(i, rt=rt, pose=gt[i], room="octagon") for i in range(n)
+    ]
+    slam = KeyframeSLAM(builder)
+    # warm every program in the loop (compile outside the timed window):
+    # first frames cover map seeding, fused tracking, and a KF event
+    for raw in raws[:6]:
+        slam.process(raw)
+    warm_frames = 6
+
+    # measured empty dispatch+fetch round trip (the tunnel constant)
+    trip = jax.jit(lambda x: x + 1)
+    np.asarray(trip(jnp.float32(0)))
+    t0 = time.time()
+    reps = 10
+    for i in range(reps):
+        np.asarray(trip(jnp.float32(i)))
+    tunnel_ms = (time.time() - t0) / reps * 1000.0
+
+    t0 = time.time()
+    for raw in raws[warm_frames:]:
+        slam.process(raw)
+    wall = time.time() - t0
+    n_timed = n - warm_frames
+    raw_ms = wall / n_timed * 1000.0
+    fused = slam.timer.counts.get("fused_track", 0)
+    n_kf = int(slam.map.n_kf)
+    # common-case tracked frame = ONE fused dispatch + ONE fetch = 1 round
+    # trip; KF events add their own (amortized into the mean)
+    corrected_ms = max(raw_ms - tunnel_ms, 0.05)
+    stages["slam_frontend"] = {
+        "value": round(1000.0 / raw_ms, 3),
+        "unit": "frames/sec/chip (measured, sequential tracker)",
+        "attribution": (
+            f"MEASURED: {n_timed} frames of KeyframeSLAM.process, "
+            f"{fused}/{n} on the fused single-dispatch path "
+            f"(1 dispatch + 1 fetch per tracked frame), {n_kf} keyframes; "
+            f"tunnel round trip {tunnel_ms:.1f} ms/frame is harness-only — "
+            f"corrected rate {1000.0 / corrected_ms:.1f} fps "
+            f"({corrected_ms:.2f} ms/frame on-chip+host)"
+        ),
+        "dispatches_per_tracked_frame": 1,
+        "tunnel_roundtrip_ms": round(tunnel_ms, 2),
+        "corrected_fps": round(1000.0 / corrected_ms, 2),
+    }
     return stages
 
 
@@ -304,6 +487,14 @@ def main() -> None:
 
     fps = _bench_pipeline(builder, raw1, raw2, cfg, aligner, trg_pyr, seam_valid)
     stages = _bench_stages(builder, raw1, raw2, cfg, aligner, trg_pyr, seam_valid)
+    sph = builder.config.sphere
+    pipe_ms = 1000.0 / fps
+    # pipeline roofline: the batch-amortized stitch gather + the salient
+    # alignment gather rows per frame
+    pipe_floor = (
+        sph.height * sph.width / BATCH  # one stitch gather per 4 frames
+        + sph.height * sph.width / 4  # ~level-1-dominated GN sweeps
+    ) * GATHER_MS_PER_ROW
     stages["pipeline_batch4"] = {
         "value": round(fps, 3),
         "unit": "frames/sec/chip",
@@ -311,17 +502,12 @@ def main() -> None:
             "one calibration-fixed row gather stitches all 4 frames; "
             "vmapped GN levels; gather latency sets the ceiling"
         ),
-    }
-    # full per-frame KeyframeSLAM front-end work = the batch-4 registration
-    # pipeline plus the 8-sensor plane segmentation each frame also pays
-    stages["slam_frontend"] = {
-        "value": round(1000.0 / (1000.0 / fps + stages["segmentation"]["value"]), 3),
-        "unit": "frames/sec/chip",
-        "attribution": (
-            "derived: 1 / (batch-4 pipeline frame time + segmentation "
-            "ms/frame)"
+        "bound": _bound(
+            "gather-row latency", pipe_floor, pipe_ms,
+            "5 ns/row; stitch amortized over the 4-frame batch",
         ),
     }
+    stages = _bench_slam_frontend(builder, stages)
 
     print(
         json.dumps(
@@ -330,6 +516,9 @@ def main() -> None:
                 "value": round(fps, 3),
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(fps / REF_CPU_FPS, 3),
+                "chip_utilization": stages["pipeline_batch4"]["bound"][
+                    "achieved_fraction"
+                ],
                 "stages": stages,
             }
         )

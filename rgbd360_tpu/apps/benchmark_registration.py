@@ -68,6 +68,7 @@ def main(argv=None):
     reg = PlaneRegistration(builder.config.matcher)
     res, ms = bench("pbmap", lambda: reg.register(ps1, ps2, mode=PLANAR_3DOF))
     results["pbmap"] = (np.asarray(res.pose), ms, f"matches={int(res.n_matches)}")
+    results["pbmap"] += (np.asarray(res.information),)
 
     al = D.DenseAligner(cfg)
     for name, method in [
@@ -121,7 +122,7 @@ def main(argv=None):
 
     print(f"{'method':<14} {'|t| m':<8} {'t':<30} {'ms':<8} notes")
     ref_t = results["dense_both"][0][:3, 3]
-    for name, (pose, ms, note) in results.items():
+    for name, (pose, ms, note, *_) in results.items():
         t = pose[:3, 3]
         agree = np.linalg.norm(t - ref_t)
         print(

@@ -69,6 +69,7 @@ def main(argv=None):
           f"|t| = {np.linalg.norm(pose_icp[:3, 3]):.4f} m")
 
     out = {"pbmap": pose_pb.tolist(), "icp": pose_icp.tolist(),
+           "pbmap_info": np.asarray(res.information).tolist(),
            "matches": int(res.n_matches), "icp_rms": float(err)}
 
     if args.dense:

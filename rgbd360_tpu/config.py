@@ -31,6 +31,16 @@ class RigConfig:
     # Valid depth gate in meters (reference `OpenNI2_Grabber/FrameRGBD/CloudRGBD_Ext.h`).
     min_depth: float = 0.3
     max_depth: float = 10.0
+    # Edge-preserving bilateral smoothing of the per-sensor depth before the
+    # cloud/plane stage, default ON like the reference
+    # (`include/Frame360.h:40` `#define USE_BILATERAL_FILTER 1`, applied
+    # per-sensor with sigmaS=10 px, sigmaR=0.05 m at `:492-499` before
+    # transforming clouds into the rig frame).  Affects the per-sensor
+    # clouds and plane segmentation only — the stitched sphere keeps the
+    # raw undistorted depth, as in the reference.
+    bilateral: bool = True
+    bilateral_sigma_s: float = 10.0
+    bilateral_sigma_r: float = 0.05
 
 
 @dataclass(frozen=True)

@@ -232,6 +232,18 @@ class FrameBuilder:
             d_small, rgb_small, k_small = depth, rgb, params["k"]
 
         rig = self.config.rig
+        if rig.bilateral:
+            # reference USE_BILATERAL_FILTER (default on): edge-preserving
+            # smoothing of the per-sensor depth feeding clouds/segmentation
+            # (`include/Frame360.h:40,492-499`, sigmaS=10 px, sigmaR=0.05 m)
+            from rgbd360_tpu.ops.bilateral import bilateral_depth
+
+            d_small = bilateral_depth(
+                d_small,
+                sigma_s=rig.bilateral_sigma_s,
+                sigma_r=rig.bilateral_sigma_r,
+                max_depth=rig.max_depth,
+            )
         valid = (d_small > rig.min_depth) & (d_small < rig.max_depth)
         d_gated = jnp.where(valid, d_small, 0.0)
         local_xyz = camera.pinhole_backproject(d_gated, k_small)  # (S, h, w, 3)
@@ -330,6 +342,36 @@ class FrameBuilder:
             self._build_pyr = jax.jit(impl)
         return self._build_pyr(self._params, frame.rgb, frame.depth)
 
+    def build_full(self, frame: RigFrame):
+        """Fused frame build + alignment pyramid + plane segmentation in ONE
+        jitted program — one device dispatch covers the whole per-frame
+        SLAM-frontend state (the reference's load/undistort/stitch/cloud/
+        getPlanes sequence, `Frame360.h:231-615`).  On a remote-attached
+        chip each dispatch costs a tunnel round trip, so the 3-dispatch
+        make_state (build, pyramid, segment) paid ~3x the fixed latency."""
+        if not hasattr(self, "_build_full"):
+            from rgbd360_tpu.ops import stitch as _st
+            from rgbd360_tpu.registration import dense as _D
+
+            seam = _st.seam_mask_from_maps(self.maps, 1)
+            dense_cfg = self.config.dense
+            seam_levels = _D.seam_masks_per_level(seam, dense_cfg.pyramid_levels)
+
+            def impl(params, rgb, depth_raw):
+                sphere = self._build_impl(params, rgb, depth_raw)
+                pyr = _D.build_frame_pyramid(
+                    sphere.sphere_gray, sphere.sphere_depth, dense_cfg,
+                    seam_levels,
+                )
+                planes = self._segment_impl(
+                    params["rt"], sphere.local_xyz, sphere.cloud_rgb,
+                    sphere.cloud_valid,
+                )
+                return sphere, pyr, planes
+
+            self._build_full = jax.jit(impl)
+        return self._build_full(self._params, frame.rgb, frame.depth)
+
     # ------------------------------------------------------------- planes
 
     def _segment_impl(self, rt, local_xyz, cloud_rgb, cloud_valid):
@@ -357,6 +399,25 @@ class FrameBuilder:
             self._segment = jax.jit(self._segment_impl)
         return self._segment(
             self._params["rt"], frame.local_xyz, frame.cloud_rgb, frame.cloud_valid
+        )
+
+    def segment_planes_batch(self, frames: SphereFrame) -> seg_ops.PlaneSet:
+        """Segment a STACKED batch of SphereFrames (leading batch axis).
+
+        The segmentation kernels (Hillis-Steele min-scans, one-hot moment
+        matmuls) are zero-gather elementwise/MXU programs whose per-frame
+        arrays are small (8x120x160); batching over frames amortizes the
+        per-kernel dispatch overhead that dominates at B=1 — the same
+        lever the batch-4 stitch uses for the gather stage."""
+        if not hasattr(self, "_segment_batch"):
+            self._segment_batch = jax.jit(
+                lambda rt, lx, cr, cv: jax.vmap(
+                    lambda a, b, c: self._segment_impl(rt, a, b, c)
+                )(lx, cr, cv)
+            )
+        return self._segment_batch(
+            self._params["rt"], frames.local_xyz, frames.cloud_rgb,
+            frames.cloud_valid,
         )
 
     def segment_planes_from_sphere(

@@ -226,7 +226,14 @@ def pose_from_matches(
         amat = n1 * w[:, None]
         ata = amat.T @ amat
         att = amat.T @ rhs
-        t = jnp.linalg.solve(ata + 1e-6 * jnp.eye(3), att)
+        # Eigen-truncated solve: translation directions carrying less than
+        # ~a quarter of one unit-weight constraint are unobserved from this
+        # match set — return exactly 0 there (the information matrix
+        # reports the deficiency) instead of amplifying the tiny residual
+        # leakage of near-orthogonal inlier normals by 1/eig.
+        evals, evecs = jnp.linalg.eigh(ata)
+        inv = jnp.where(evals > 0.25, 1.0 / jnp.maximum(evals, 1e-12), 0.0)
+        t = evecs @ (inv * (evecs.T @ att))
         return rot, t, ata
 
     w = vmask
@@ -235,6 +242,36 @@ def pose_from_matches(
         r_t = jnp.einsum("ki,i->k", n1, t) - (d2 - d1)
         r_r = 1.0 - jnp.einsum("ki,ki->k", n1, n2 @ rot.T)
         w = vmask * huber_w(r_t, 0.05) * huber_w(r_r, 0.002)
+        rot, t, ata = solve(w)
+    # Redescending final passes: pairs whose d-offset residual is grossly
+    # inconsistent with the converged solution are WRONG data associations
+    # (same-normal small planes swapped between frames — e.g. ceiling
+    # fixtures segmented differently per frame), not noisy measurements;
+    # Huber's scale/|r| soft weight still lets a mutually-consistent outlier
+    # group drag any translation direction the inliers constrain weakly.
+    # Hard-zero them — and ALSO revoke any surviving pair that shares a cut
+    # pair's normal direction without a second supporting inlier: when an
+    # outlier group alone owns a translation direction, the IRLS solution
+    # splits the error among the group, so after cutting part of it the
+    # remainder fits its own drag exactly (leverage ~ 1) and can never be
+    # residual-tested.  Without redundant support that direction is simply
+    # unobservable from this match set; the information matrix then reports
+    # it (near-zero eigenvalue) instead of a confidently wrong translation.
+    # Clean data is unaffected (the cut binds ~3x beyond the IRLS Huber
+    # scale and no cut means no revocation).  The reference's
+    # ConsistencyTest has no such guard and inherits the drag.
+    for _ in range(2):
+        r_t = jnp.einsum("ki,i->k", n1, t) - (d2 - d1)
+        r_r = 1.0 - jnp.einsum("ki,ki->k", n1, n2 @ rot.T)
+        keep = (jnp.abs(r_t) < 0.15) & (r_r < 0.01)
+        cut = (w > 0.0) & ~keep
+        same_dir = jnp.abs(jnp.einsum("ki,li->kl", n1, n1)) > 0.966  # ~15 deg
+        suspect = jnp.any(same_dir & cut[None, :], axis=1)
+        support = jnp.sum(
+            same_dir & keep[None, :] & (w[None, :] > 0.0), axis=1
+        ) - 1  # other supporting inliers in this pair's direction
+        keep = keep & (~suspect | (support >= 1))
+        w = jnp.where(keep, w, 0.0)
         rot, t, ata = solve(w)
     det_t = jnp.linalg.det(ata)
 

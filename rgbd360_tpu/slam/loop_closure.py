@@ -32,10 +32,45 @@ from rgbd360_tpu.registration.planes import (
 )
 
 
-def candidate_gate(
-    map360, query_pose, query_kf: int, exclude_recent: int, lc_cfg
-) -> np.ndarray:
-    """Boolean candidate mask for loop-closure search (padded length).
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("area_gating",))
+def _gate_kernel(
+    opt_poses, n_kf, area, n_areas, sso, edges_ij, emask,
+    query_pose, query_kf, exclude_recent, radius, area_gating: bool,
+):
+    """Device-side candidate gate: distance + recency + area logic computed
+    entirely on device so a keyframe event never pulls the O(capacity) pose
+    array over the host link (the round-2 review's per-KF-readback item)."""
+    from rgbd360_tpu.slam.topological import (
+        area_adjacency_device,
+        representative_mask_device,
+    )
+
+    n = opt_poses.shape[0]
+    idx = jnp.arange(n)
+    live = idx < n_kf
+    dist = jnp.linalg.norm(
+        opt_poses[:, :3, 3] - query_pose[:3, 3], axis=1
+    )
+    gate = live & (dist < radius) & (idx < query_kf - exclude_recent)
+    if area_gating:
+        q_area = area[jnp.clip(jnp.minimum(query_kf, n_kf - 1), 0, None)]
+        neigh = area_adjacency_device(area, edges_ij, emask, n)
+        is_rep = representative_mask_device(sso, area, n_kf)
+        same_area = area == q_area
+        non_neigh = ~neigh[q_area][area]
+        # unpartitioned (n_areas <= 1): plain radius scan
+        gate = gate & jnp.where(
+            n_areas > 1, same_area | (non_neigh & is_rep), True
+        )
+    return gate
+
+
+def candidate_gate(map360, query_pose, query_kf: int, exclude_recent: int, lc_cfg):
+    """Boolean candidate mask for loop-closure search (padded length,
+    returned as a DEVICE array feeding the batch matcher directly).
 
     Area-driven, mirroring the reference's loop-closure thread
     (`include/LoopClosure360.h:289-366`): keyframes of the query's OWN
@@ -44,34 +79,30 @@ def candidate_gate(
     area in radius.  Neighbor-area keyframes are covered by the tracker's
     connection search (`KFsphere_SLAM.cpp:405-461`).  Until the map has been
     partitioned (one area), degrades to the plain radius scan."""
-    n_kf = int(map360.n_kf)
-    centers = np.asarray(map360.opt_poses[:, :3, 3])
-    qc = np.asarray(query_pose[:3, 3])
-    dist = np.linalg.norm(centers - qc, axis=1)
-    idx = np.arange(map360.poses.shape[0])
-    gate = (
-        (idx < n_kf)
-        & (dist < lc_cfg.search_radius)
-        & (idx < query_kf - exclude_recent)
+    return _gate_kernel(
+        map360.opt_poses,
+        map360.n_kf,
+        map360.area,
+        map360.n_areas,
+        map360.sso,
+        map360.graph.edges_ij,
+        map360.graph.emask,
+        jnp.asarray(query_pose),
+        jnp.asarray(query_kf),
+        jnp.asarray(exclude_recent),
+        jnp.asarray(lc_cfg.search_radius),
+        area_gating=bool(lc_cfg.area_gating),
     )
-    n_areas = int(map360.n_areas)
-    if lc_cfg.area_gating and n_areas > 1:
-        from rgbd360_tpu.slam.topological import (
-            neighbor_areas,
-            representative_keyframes,
-        )
 
-        area = np.asarray(map360.area)
-        pad = map360.poses.shape[0] - n_kf
-        q_area = int(area[min(query_kf, n_kf - 1)])
-        neigh = neighbor_areas(map360)[q_area]  # (A,) incl. self
-        reps = representative_keyframes(map360)
-        is_rep = np.zeros(map360.poses.shape[0], bool)
-        is_rep[reps[reps >= 0]] = True
-        same_area = np.pad(area[:n_kf] == q_area, (0, pad))
-        non_neigh = np.pad(~neigh[area[:n_kf]], (0, pad))
-        gate &= same_area | (non_neigh & is_rep)
-    return gate
+
+@partial(jax.jit, static_argnames=("k",))
+def _select_candidates(n_m, area, obs, pose, min_matches, min_area, k: int):
+    """Device-side survivor selection: top-k candidates by match count
+    among those passing the LC gates — only O(k) data crosses to host."""
+    ok = obs & (n_m >= min_matches) & (area > min_area)
+    score = jnp.where(ok, n_m, -1)
+    top_scores, top_idx = jax.lax.top_k(score, k)
+    return top_idx, top_scores > 0, pose[top_idx]
 
 
 @dataclass
@@ -181,27 +212,27 @@ class LoopCloser:
         if n_kf <= exclude_recent + 1:
             return []
 
-        # area-driven candidate gate over OPTIMIZED poses — the query pose
-        # lives in the optimized frame
+        # area-driven candidate gate over OPTIMIZED poses — computed and
+        # consumed on device; only the top-k survivors (indices + seed
+        # poses) cross the host link
         gate = candidate_gate(map360, query_pose, query_kf, exclude_recent, lc_cfg)
-        if not gate.any():
-            return []
-
         n_m, area, pose, info, obs = self._batch_match(
-            query_planes, map360.planes, jnp.asarray(gate)
+            query_planes, map360.planes, gate
         )
-        n_m = np.asarray(n_m)
-        area = np.asarray(area)
-        ok = (
-            np.asarray(obs)
-            & (n_m >= lc_cfg.min_matches)
-            & (area > lc_cfg.min_area)
+        top_idx, top_ok, top_pose = jax.device_get(
+            _select_candidates(
+                n_m, area, obs, pose,
+                jnp.asarray(lc_cfg.min_matches),
+                jnp.asarray(lc_cfg.min_area),
+                k=max_dense_checks,
+            )
         )
-        cand = np.where(ok)[0]
-        if len(cand) == 0:
+        cand = [int(i) for i, v in zip(top_idx, top_ok) if v]
+        if not cand:
             return []
-        # strongest candidates first
-        cand = cand[np.argsort(-n_m[cand])][:max_dense_checks]
+        cand_pose = {
+            int(i): p for i, v, p in zip(top_idx, top_ok, top_pose) if v
+        }
 
         # dense verification (reference refines with alignFrames360 and gates
         # avDepthResidual < 2.0, LoopClosure360.h:311-316; here plus the
@@ -226,7 +257,7 @@ class LoopCloser:
             kf_pyr = self.kf_pyramid(map360, int(k), pyr_cache)
             # seed: plane pose maps x_kf = T x_query; dense align(query, kf)
             # optimizes T_kf<-query when called as align(src=query, trg=kf)
-            seed = jnp.asarray(pose[k])
+            seed = jnp.asarray(cand_pose[int(k)])
             res = jax.device_get(
                 self._aligner.align(q_pyr, kf_pyr, seed, method=D.PHOTO_DEPTH)
             )
@@ -234,7 +265,7 @@ class LoopCloser:
                 # heading rescue: the plane seed may be yaw-aliased —
                 # coarse-GN-refine left-composed yaw hypotheses in one
                 # vmapped batch and fully verify only the best
-                cands = se3.yaw_grid(16) @ np.asarray(pose[k])[None]
+                cands = se3.yaw_grid(16) @ np.asarray(cand_pose[int(k)])[None]
                 refined, errs = jax.device_get(
                     self._aligner.coarse_align(q_pyr, kf_pyr, jnp.asarray(cands))
                 )

@@ -96,6 +96,19 @@ class TrackerBase:
         self.timer = StageTimer()
 
     def make_state(self, raw) -> FrameState:
+        """Per-frame tracking state in ONE device dispatch (build + pyramid
+        + segmentation fused, `FrameBuilder.build_full`).  When the tracker
+        was handed a dense config different from the builder's, the fused
+        program (compiled against the builder's config) would build the
+        wrong pyramid — fall back to the split path."""
+        from rgbd360_tpu.core.frame import RigFrame
+
+        if self.config.dense == self.builder.config.dense:
+            with self.timer.region("build"):
+                sphere, pyramid, planes = self.builder.build_full(
+                    RigFrame.from_raw(raw)
+                )
+            return FrameState(sphere=sphere, pyramid=pyramid, planes=planes)
         with self.timer.region("build"):
             sphere = self.builder.build_from_raw(raw)
         with self.timer.region("pyramid"):
@@ -104,7 +117,39 @@ class TrackerBase:
             planes = self.builder.segment_planes(sphere)
         return FrameState(sphere=sphere, pyramid=pyramid, planes=planes)
 
-    def align_with_fallback(self, src_pyr, trg_pyr, seeds, prev_rel=None):
+    def _fused_track_fn(self):
+        """ONE jitted program for the whole common-case tracked frame:
+        frame build + pyramid + plane segmentation + PbMap register against
+        the keyframe + dense GN align from the motion-model seed.  A
+        healthy tracked frame costs exactly one device dispatch and one
+        result fetch (the reference's per-frame loop spans the same
+        stages, `SLAM/KFsphere_SLAM.cpp:293-396`)."""
+        if not hasattr(self, "_fused_track"):
+            builder = self.builder
+            dense_cfg = self.config.dense
+            seam = stitch_ops.seam_mask_from_maps(builder.maps, 1)
+            seam_levels = D.seam_masks_per_level(seam, dense_cfg.pyramid_levels)
+
+            def impl(params, rgb, depth_raw, kf_planes, kf_pyr, seed):
+                sphere = builder._build_impl(params, rgb, depth_raw)
+                pyr = D.build_frame_pyramid(
+                    sphere.sphere_gray, sphere.sphere_depth, dense_cfg,
+                    seam_levels,
+                )
+                planes = builder._segment_impl(
+                    params["rt"], sphere.local_xyz, sphere.cloud_rgb,
+                    sphere.cloud_valid,
+                )
+                pb = self.plane_reg._run_impl(kf_planes, planes, mode=PLANAR_3DOF)
+                res = self.aligner._align_impl(pyr, kf_pyr, seed, D.PHOTO_DEPTH)
+                return sphere, pyr, planes, pb, res
+
+            self._fused_track = jax.jit(impl)
+        return self._fused_track
+
+    def align_with_fallback(
+        self, src_pyr, trg_pyr, seeds, prev_rel=None, pre=None
+    ):
         """Dense alignment tried from a priority-ordered seed chain.
 
         `seeds` is one 4x4 seed or a list ordered best-guess first (e.g.
@@ -122,12 +167,18 @@ class TrackerBase:
         odometry limits (`include/Miscellaneous.h:69-72`) actually bound.
         Checking the raw KF-relative pose instead silently rejects every
         correct solve once the rig has turned more than
-        `max_rotation_odometry` away from the keyframe."""
+        `max_rotation_odometry` away from the keyframe.
+
+        `pre` is an optional (seed, fetched_result) pair from the fused
+        tracking dispatch: the first chain entry matching that seed reuses
+        the already-computed solve instead of dispatching again, so the
+        common healthy frame costs zero extra device round trips here."""
         kf_cfg = self.config.kf
         if not isinstance(seeds, (list, tuple)):
             seeds = [seeds]
         inv_prev = None if prev_rel is None else np.linalg.inv(prev_rel)
         tried: list[np.ndarray] = []
+        pre_seed, pre_res = pre if pre is not None else (None, None)
 
         def novel(s):
             s = np.asarray(s)
@@ -139,12 +190,20 @@ class TrackerBase:
         best = last = None
 
         def solve(s, aligner=None):
-            nonlocal best, last
-            res = fetch(
-                (aligner or self.aligner).align(
-                    src_pyr, trg_pyr, jnp.asarray(s), method=D.PHOTO_DEPTH
+            nonlocal best, last, pre_seed
+            if (
+                aligner is None
+                and pre_seed is not None
+                and np.allclose(s, pre_seed, atol=1e-9)
+            ):
+                res = pre_res
+                pre_seed = None  # consume once
+            else:
+                res = fetch(
+                    (aligner or self.aligner).align(
+                        src_pyr, trg_pyr, jnp.asarray(s), method=D.PHOTO_DEPTH
+                    )
                 )
-            )
             pose = np.asarray(res.pose)
             step = pose if inv_prev is None else inv_prev @ pose
             good = not bool(res.ill_posed) and is_motion_continuous(
@@ -545,9 +604,36 @@ class KeyframeSLAM(TrackerBase):
     # ------------------------------------------------------------ process
 
     def process(self, raw) -> dict:
+        """Process one raw rig capture.  The common healthy-tracking case
+        runs ONE fused device dispatch (state + PbMap + motion-model-seeded
+        dense solve, `_fused_track_fn`) and one result fetch; every other
+        case (first frame, lost, config mismatch) takes the split path."""
+        if (
+            self.current_kf >= 0
+            and not self.lost
+            and self.kf_state is not None
+            and self.track_rel is not None
+            and self.config.dense == self.builder.config.dense
+        ):
+            from rgbd360_tpu.core.frame import RigFrame
+
+            rig = RigFrame.from_raw(raw)
+            seed = self.track_rel @ self.last_step
+            with self.timer.region("fused_track"):
+                sphere, pyr, planes, pb, res = self._fused_track_fn()(
+                    self.builder._params,
+                    rig.rgb,
+                    rig.depth,
+                    self.kf_state.planes,
+                    self.kf_state.pyramid,
+                    jnp.asarray(seed),
+                )
+                pb, res = fetch((pb, res))
+            state = FrameState(sphere=sphere, pyramid=pyr, planes=planes)
+            return self.process_state(state, _pre=(pb, seed, res))
         return self.process_state(self.make_state(raw))
 
-    def process_state(self, state: FrameState) -> dict:
+    def process_state(self, state: FrameState, _pre=None) -> dict:
         kf_cfg = self.config.kf
         ev: dict = {"keyframe": False, "loop_closures": 0, "relocalized": False}
 
@@ -648,9 +734,15 @@ class KeyframeSLAM(TrackerBase):
             kf_pyr = self.kf_state.pyramid
             kf_planes = self.kf_state.planes
 
-        # plane fast path (reference KFsphere_SLAM.cpp:314,354-366)
-        with self.timer.region("register_pbmap"):
-            pb = self.plane_reg.register(kf_planes, state.planes, mode=PLANAR_3DOF)
+        # plane fast path (reference KFsphere_SLAM.cpp:314,354-366); the
+        # fused dispatch already computed it for the common case
+        if _pre is not None:
+            pb = _pre[0]
+        else:
+            with self.timer.region("register_pbmap"):
+                pb = self.plane_reg.register(
+                    kf_planes, state.planes, mode=PLANAR_3DOF
+                )
         kf_pose = np.asarray(self.map.opt_poses[self.current_kf])
 
         # dense tracking: T_kf<-new (reference :370-373); seed chain =
@@ -663,7 +755,11 @@ class KeyframeSLAM(TrackerBase):
         with self.timer.region("register_dense"):
             res = fetch(
                 self.align_with_fallback(
-                    state.pyramid, kf_pyr, seeds, prev_rel=self.track_rel
+                    state.pyramid,
+                    kf_pyr,
+                    seeds,
+                    prev_rel=self.track_rel,
+                    pre=None if _pre is None else (_pre[1], _pre[2]),
                 )
             )
         rel = np.asarray(res.pose)
@@ -802,6 +898,33 @@ class KeyframeSLAM(TrackerBase):
             self.pose = np.asarray(self.map.opt_poses[k])
         return self._emit(ev)
 
+    @staticmethod
+    @jax.jit
+    def _connection_kernel(
+        opt_poses, n_kf, area, n_areas, edges_ij, emask, k, radius
+    ):
+        """Device-side connection-candidate selection (reference
+        `KFsphere_SLAM.cpp:405-461`): same/neighbor-area keyframes within
+        the connection radius, nearest first.  Returns a FIXED top-16 slate
+        (indices, validity, device-computed seeds inv(T_kf) @ T_new) so a
+        keyframe event pulls O(16), not O(capacity), over the host link."""
+        from rgbd360_tpu.slam.topological import area_adjacency_device
+
+        n = opt_poses.shape[0]
+        idx = jnp.arange(n)
+        live = idx < n_kf
+        kf_pose = opt_poses[k]
+        dist = jnp.linalg.norm(opt_poses[:, :3, 3] - kf_pose[:3, 3], axis=1)
+        neigh = area_adjacency_device(area, edges_ij, emask, n)
+        allowed = jnp.where(n_areas > 1, neigh[area[k]][area], True)
+        ok = live & allowed & (idx != k) & (dist < radius)
+        score = jnp.where(ok, -dist, -jnp.inf)
+        top_s, top_i = jax.lax.top_k(score, min(16, n))
+        seeds = jax.vmap(lambda i: jnp.linalg.solve(opt_poses[i], kf_pose))(
+            top_i
+        )
+        return top_i, top_s > -jnp.inf, seeds
+
     def _post_keyframe(self, state: FrameState, k: int, ev: dict) -> bool:
         """Per-new-keyframe map work: neighbor connections, loop-closure
         search, pose-graph optimization, topological partitioning.  Returns
@@ -814,34 +937,35 @@ class KeyframeSLAM(TrackerBase):
         # (reference KFsphere_SLAM.cpp:405-461 searches same/neighbor-area
         # KFs within 2.5 m, vConnections with residual < 1.8).  Area
         # membership — not a fixed candidate cap — bounds the pool, so
-        # per-keyframe work stays independent of total map size.
-        n_kf_now = int(self.map.n_kf)
-        centers = np.asarray(self.map.opt_poses[:n_kf_now, :3, 3])
-        dist = np.linalg.norm(centers - kf_pose[:3, 3], axis=1)
-        if int(self.map.n_areas) > 1:
-            from rgbd360_tpu.slam.topological import neighbor_areas
-
-            area = np.asarray(self.map.area)[:n_kf_now]
-            allowed_area = neighbor_areas(self.map)[area[k]][area]
-        else:
-            allowed_area = np.ones(n_kf_now, bool)
+        # per-keyframe work stays independent of total map size; candidate
+        # selection runs on device and pulls back a fixed small slate.
+        top_i, top_ok, top_seeds = fetch(
+            self._connection_kernel(
+                self.map.opt_poses,
+                self.map.n_kf,
+                self.map.area,
+                self.map.n_areas,
+                self.map.graph.edges_ij,
+                self.map.graph.emask,
+                jnp.asarray(k),
+                jnp.asarray(kf_cfg.connection_radius),
+            )
+        )
         near = [
-            kf
-            for kf in np.argsort(dist)  # nearest first
-            if kf != k
-            and allowed_area[kf]
-            and (kf, k) not in self._edge_set
-            and (k, kf) not in self._edge_set
-            and dist[kf] < kf_cfg.connection_radius
+            (int(kf), seed)
+            for kf, v, seed in zip(top_i, top_ok, top_seeds)
+            if v
+            and (int(kf), k) not in self._edge_set
+            and (k, int(kf)) not in self._edge_set
         ]
         n_connections = 0
-        for kf in near[: kf_cfg.max_connections]:
+        for kf, seed2 in near[: kf_cfg.max_connections]:
             kf_pyr2 = self.loop_closer.kf_pyramid(self.map, kf, self._kf_pyr_cache)
-            seed2 = jnp.asarray(
-                np.linalg.inv(np.asarray(self.map.opt_poses[kf])) @ kf_pose
-            )
             res2 = fetch(
-                self.aligner.align(state.pyramid, kf_pyr2, seed2, method=D.PHOTO_DEPTH)
+                self.aligner.align(
+                    state.pyramid, kf_pyr2, jnp.asarray(seed2),
+                    method=D.PHOTO_DEPTH,
+                )
             )
             if (
                 not bool(res2.ill_posed)

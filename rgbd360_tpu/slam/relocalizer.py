@@ -64,6 +64,17 @@ class Relocalizer:
 
         return jax.vmap(one)(map_planes, gate)
 
+    @staticmethod
+    @jax.jit
+    def _select(n_m, area, obs, pose, info, min_matches, min_area):
+        """Device-side winner selection (newest-first among acceptable hits);
+        only the single winner's data crosses to host."""
+        idx = jnp.arange(n_m.shape[0])
+        ok = obs & (n_m >= min_matches) & (area > min_area)
+        score = jnp.where(ok, n_m * 1000 + idx, -1)
+        k = jnp.argmax(score)
+        return jnp.any(ok), k, pose[k], info[k], n_m[k], area[k]
+
     def relocalize(self, map360, query_planes: PlaneSet) -> RelocalizationResult:
         n_kf = int(map360.n_kf)
         fail = RelocalizationResult(False, -1, np.eye(4), np.zeros((6, 6)), 0, 0.0)
@@ -72,20 +83,20 @@ class Relocalizer:
         idx = np.arange(map360.poses.shape[0])
         gate = jnp.asarray(idx < n_kf)
         n_m, area, pose, info, obs = self._batch(map360.planes, query_planes, gate)
-        n_m = np.asarray(n_m)
-        area = np.asarray(area)
         rc = self.config.reloc
-        ok = np.asarray(obs) & (n_m >= rc.min_matches) & (area > rc.min_area)
-        if not ok.any():
+        any_ok, k, pose_k, info_k, n_k, area_k = jax.device_get(
+            self._select(
+                n_m, area, obs, pose, info,
+                jnp.asarray(rc.min_matches), jnp.asarray(rc.min_area),
+            )
+        )
+        if not bool(any_ok):
             return fail
-        # newest-first preference among acceptable hits
-        score = np.where(ok, n_m * 1000 + idx, -1)
-        k = int(np.argmax(score))
         return RelocalizationResult(
             success=True,
-            kf=k,
-            pose=np.asarray(pose[k]),
-            info=np.asarray(info[k]),
-            n_matches=int(n_m[k]),
-            area_matched=float(area[k]),
+            kf=int(k),
+            pose=np.asarray(pose_k),
+            info=np.asarray(info_k),
+            n_matches=int(n_k),
+            area_matched=float(area_k),
         )

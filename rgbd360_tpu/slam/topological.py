@@ -143,6 +143,37 @@ def _rep_scores(sso, area, n_kf):
     return jnp.sum(jnp.where(same, s, 0.0), axis=1), area
 
 
+def area_adjacency_device(area, edges_ij, emask, max_areas: int):
+    """(A, A) bool area adjacency (incl. self) computed ON DEVICE from the
+    live edge list — the device-side form of `neighbor_areas` used by the
+    per-keyframe candidate gates so no O(capacity) arrays cross the host
+    link per keyframe event."""
+    ev = emask & (edges_ij[:, 0] >= 0)
+    ai = jnp.where(ev, area[jnp.clip(edges_ij[:, 0], 0, None)], 0)
+    aj = jnp.where(ev, area[jnp.clip(edges_ij[:, 1], 0, None)], 0)
+    d = jnp.arange(max_areas)
+    neigh = jnp.zeros((max_areas, max_areas), bool).at[d, d].set(True)
+    neigh = neigh.at[ai, aj].max(ev)
+    return neigh.at[aj, ai].max(ev)
+
+
+def representative_mask_device(sso, area, n_kf):
+    """(N,) bool — is keyframe its area's representative (device-side form
+    of `representative_keyframes`: per-area argmax of the same-area SSO row
+    sum)."""
+    n = area.shape[0]
+    idx = jnp.arange(n)
+    live = idx < n_kf
+    s = jnp.maximum(sso, sso.T)
+    same = (area[:, None] == area[None, :]) & live[None, :] & live[:, None]
+    scores = jnp.sum(jnp.where(same, s, 0.0), axis=1)
+    member = (area[None, :] == idx[:, None]) & live[None, :]  # (A=n, N)
+    area_scores = jnp.where(member, scores[None, :], -1.0)
+    reps = jnp.argmax(area_scores, axis=1)
+    has_members = jnp.any(member, axis=1)
+    return jnp.zeros((n,), bool).at[reps].max(has_members)
+
+
 def neighbor_areas(map360) -> np.ndarray:
     """(A, A) bool adjacency between areas via existing edges (the
     reference's `vsNeighborAreas`)."""

@@ -199,10 +199,20 @@ class TestMatching:
 class TestRealFrames:
     @pytest.fixture(scope="class")
     def frames(self, calibration, sample_paths):
+        import dataclasses
+
+        from rgbd360_tpu.config import default_config
         from rgbd360_tpu.core.frame import FrameBuilder
         from rgbd360_tpu.io.bin_format import read_rig_frame
 
-        b = FrameBuilder(calibration)
+        # raw-depth segmentation: with the default-on bilateral filter this
+        # pair's extra small ceiling planes associate wrongly (no true
+        # counterparts), and the PbMap translation honestly degrades to the
+        # observable subspace — pinned in tests/test_real_pair.py.  The full
+        # cross-frame agreement regression here uses the raw configuration.
+        cfg = default_config()
+        cfg = cfg.replace(rig=dataclasses.replace(cfg.rig, bilateral=False))
+        b = FrameBuilder(calibration, cfg)
         out = []
         for p in sample_paths[:2]:
             f = b.build_from_raw(read_rig_frame(p))

@@ -37,7 +37,7 @@ def pair(calibration):
     return b, f1, f10
 
 
-def test_engines_agree_on_pinned_pose(pair):
+def test_engines_agree_on_pinned_pose(pair, calibration):
     from rgbd360_tpu.core.frame import RigFrame
     from rgbd360_tpu.io.bin_format import read_rig_frame
     from rgbd360_tpu.ops import stitch as stitch_ops
@@ -64,13 +64,41 @@ def test_engines_agree_on_pinned_pose(pair):
     ang = float(np.asarray(se3.rotation_angle(jnp.asarray(dres.pose)[:3, :3])))
     assert abs(ang) < 0.02, ang
 
-    # PbMap closed-form from matched planes
+    # PbMap closed-form from matched planes.  Full agreement is pinned on
+    # the RAW-depth segmentation (rig.bilateral=False): with the default-on
+    # bilateral filter (reference USE_BILATERAL_FILTER) more small ceiling
+    # planes survive segmentation, two of them get wrongly associated
+    # across this pair (no true counterparts exist — measured round 3), and
+    # the leverage-aware solver then reports the affected translation
+    # direction as unobservable instead of drifting — asserted below.
+    import dataclasses as _dc
+
+    from rgbd360_tpu.core.frame import FrameBuilder as _FB
+
+    cfg_raw = b.config.replace(rig=_dc.replace(b.config.rig, bilateral=False))
+    b_raw = _FB(calibration, cfg_raw)
+    f1_raw = b_raw.build_from_raw(read_rig_frame(S1))
+    f10_raw = b_raw.build_from_raw(read_rig_frame(S10))
     pb = PlaneRegistration(b.config.matcher).register(
-        b.segment_planes(f1), b.segment_planes(f10), mode=PLANAR_3DOF
+        b_raw.segment_planes(f1_raw), b_raw.segment_planes(f10_raw),
+        mode=PLANAR_3DOF,
     )
     assert bool(pb.success) and int(pb.n_matches) >= 5
     t_pb = np.asarray(pb.pose)[:3, 3]
     assert np.linalg.norm(t_pb - t_dense) < 0.02, t_pb
+
+    # with bilateral ON (the default build f1/f10): the solver must flag the
+    # under-constrained translation direction (small info eigenvalue) and
+    # stay honest (near-zero, not dragged) there, while the well-observed
+    # x direction still agrees with dense
+    pb_bil = PlaneRegistration(b.config.matcher).register(
+        b.segment_planes(f1), b.segment_planes(f10), mode=PLANAR_3DOF
+    )
+    info_eigs = np.linalg.eigvalsh(np.asarray(pb_bil.information)[:3, :3])
+    t_bil = np.asarray(pb_bil.pose)[:3, 3]
+    assert info_eigs[0] < 0.25, info_eigs  # deficiency reported
+    assert abs(t_bil[0] - t_dense[0]) < 0.05, t_bil
+    assert np.linalg.norm(t_bil) < 0.15, t_bil  # honest, not dragged
 
     # robust GICP (plane-to-plane) from both identity and the PbMap seed
     d1 = tuple(build_depth_pyramid(f1.sphere_depth, 4))

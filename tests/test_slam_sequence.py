@@ -424,7 +424,10 @@ def test_soak_long_horizon(calibration, tmp_path):
 
     early = steady(20, 60)
     late = steady(n_frames - 45, n_frames)
-    assert late < 3.0 * early, (
+    # measured headroom (round 2, CPU backend): late/early ~ 0.81 — the
+    # area-driven candidate gating keeps per-frame work flat as the map
+    # quadruples, so a 1.5x bound catches real degradation with margin
+    assert late < 1.5 * early, (
         f"per-frame time degraded with map size: {early:.3f}s -> {late:.3f}s"
     )
     print(
@@ -435,3 +438,36 @@ def test_soak_long_horizon(calibration, tmp_path):
         f"final err {err_final:.3f} m, steady frame time "
         f"{early * 1000:.0f} -> {late * 1000:.0f} ms"
     )
+
+
+def test_fused_track_matches_split(calibration):
+    """The single-dispatch fused fast path of `KeyframeSLAM.process(raw)`
+    (build + pyramid + segmentation + PbMap + motion-model-seeded dense
+    solve in ONE jitted program) must track the same trajectory as the
+    split make_state + process_state path."""
+    from rgbd360_tpu.apps.grabber import synth_capture, synth_trajectory_poses
+    from rgbd360_tpu.config import default_config
+    from rgbd360_tpu.core.frame import FrameBuilder
+    from rgbd360_tpu.io.calib import load_calibration
+    from rgbd360_tpu.slam.odometry import KeyframeSLAM
+
+    calib = load_calibration("/root/reference/Calibration/Extrinsics", None)
+    rt = np.asarray(calib.rt, np.float64)
+    gt = synth_trajectory_poses("loop", 8, radius=0.6)
+    cfg = default_config()
+    fused = KeyframeSLAM(FrameBuilder(calib, cfg), cfg)
+    split = KeyframeSLAM(FrameBuilder(calib, cfg), cfg)
+    n_fused_dispatch_frames = 0
+    for i in range(6):
+        raw = synth_capture(i, rt=rt, pose=gt[i], room="octagon")
+        fused.process(raw)
+        split.process_state(split.make_state(raw))
+        if fused.timer.counts.get("fused_track", 0) > n_fused_dispatch_frames:
+            n_fused_dispatch_frames = fused.timer.counts["fused_track"]
+    # the fast path actually engaged (first frame seeds the map; the rest
+    # should ride the fused dispatch)
+    assert fused.timer.counts.get("fused_track", 0) >= 4, dict(fused.timer.counts)
+    np.testing.assert_allclose(
+        np.stack(fused.trajectory), np.stack(split.trajectory), atol=1e-4
+    )
+    assert int(fused.map.n_kf) == int(split.map.n_kf)
