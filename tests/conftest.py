@@ -68,6 +68,8 @@ _SLOW_TESTS = {
     "tests/test_misc.py::TestOcclusionModes::test_occlusion_agrees_with_plain",
     "tests/test_misc.py::TestReviewRegressions::test_map_capacity_auto_grows",
     "tests/test_multihost_spawn.py::test_two_process_distributed_psum",
+    "tests/test_multihost_spawn.py::test_two_process_production_tracker",
+    "tests/test_slam_sequence.py::test_fused_track_matches_split",
     "tests/test_parallel.py::test_distributed_graph_matches_single",
     "tests/test_pbmap.py::test_planeset_bridge_real_frame",
     "tests/test_pbmap.py::test_view_frame_pcd_pbmap_pair",

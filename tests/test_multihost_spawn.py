@@ -89,3 +89,115 @@ def test_two_process_distributed_psum(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
         assert f"proc {i} OK sum=6.0" in out, out
+
+
+TRACKER_WORKER = r"""
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+from rgbd360_tpu.parallel import multihost
+
+pid = int(sys.argv[1])
+ok = multihost.initialize(
+    coordinator_address=sys.argv[2], num_processes=2, process_id=pid
+)
+assert ok, "distributed bring-up failed"
+assert jax.device_count() == 4, jax.device_count()
+
+from dataclasses import replace
+
+from __graft_entry__ import _box_room_sphere
+from rgbd360_tpu.config import default_config
+from rgbd360_tpu.core.frame import FrameBuilder
+from rgbd360_tpu.io.calib import Calibration
+from rgbd360_tpu.calibration.solver import construction_spec_rt
+from rgbd360_tpu.slam.odometry import KeyframeSLAM
+
+cfg = default_config()
+cfg = cfg.replace(
+    rig=replace(cfg.rig, width=32, height=24, fx=26.0, fy=26.0,
+                cx=15.5, cy=11.5),
+    sphere=replace(cfg.sphere, width=192, height=32),
+    dense=replace(cfg.dense, pyramid_levels=2),
+    seg=replace(cfg.seg, min_inliers=40),
+    map=replace(cfg.map, max_keyframes=16, max_edges=32),
+    kf=replace(cfg.kf, select_kf_icp_dist=1e-6, min_dist_keyframes=1e-6),
+)
+rt = construction_spec_rt(8)
+calib = Calibration(
+    rt=np.asarray(rt, np.float32),
+    rt_inv=np.linalg.inv(np.asarray(rt)).astype(np.float32),
+    k=np.array([[26.0, 0, 15.5], [0, 26.0, 11.5], [0, 0, 1]], np.float32),
+)
+
+mesh = multihost.global_mesh("kf")
+frames = [_box_room_sphere(32, 192, np.array([0.04 * i, 0.0, 0.02 * i]))
+          for i in range(4)]
+
+# the PRODUCTION tracker over the CROSS-PROCESS mesh: KF-sharded LC scans +
+# edge/vertex-sharded distributed pose-graph PCG inside the per-frame loop
+sharded = KeyframeSLAM(FrameBuilder(calib), cfg, mesh=mesh)
+for g, d in frames:
+    sharded.process_state(sharded.make_state_from_sphere(g, d))
+assert not sharded.lost
+
+# reference: the same tracker unsharded, single-process
+single = KeyframeSLAM(FrameBuilder(calib), cfg)
+for g, d in frames:
+    single.process_state(single.make_state_from_sphere(g, d))
+
+a = np.stack(sharded.trajectory)
+b = np.stack(single.trajectory)
+err = np.abs(a - b).max()
+assert err < 5e-3, f"sharded-vs-single trajectory disagreement {err}"
+assert int(sharded.map.n_kf) == int(single.map.n_kf)
+assert multihost.all_hosts_agree(float(a.sum())), "processes diverged"
+print(f"proc {pid} TRACKER OK kf={int(sharded.map.n_kf)} err={err:.2e}")
+"""
+
+
+def test_two_process_production_tracker(tmp_path):
+    """N frames of the REAL `KeyframeSLAM(mesh=...)` across two OS
+    processes rendezvousing through jax.distributed, asserting trajectory
+    agreement with the single-process tracker (round-2 review item: the
+    production loop itself must cross a process boundary, not just a
+    psum)."""
+    port = socket.socket()
+    port.bind(("127.0.0.1", 0))
+    addr = f"127.0.0.1:{port.getsockname()[1]}"
+    port.close()
+
+    script = tmp_path / "tracker_worker.py"
+    script.write_text(TRACKER_WORKER)
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if not k.startswith(("JAX_", "XLA_", "PALLAS_", "AXON_", "TPU_"))
+    }
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(p), addr],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            env=env,
+            text=True,
+        )
+        for p in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=540)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+            pytest.fail(f"tracker worker hung:\n{out}")
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"tracker worker {i} failed:\n{out}"
+        assert f"proc {i} TRACKER OK" in out, out
