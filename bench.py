@@ -241,10 +241,11 @@ def _bench_stages(builder, raw1, raw2, cfg, aligner, trg_pyr, seam_valid):
         "value": round(seg_ms, 3),
         "unit": "ms/frame",
         "attribution": (
-            "Hillis-Steele segmented min-scan CC labeling + label histogram/"
-            "moment sums as MXU matmuls; zero gathers/scatters — per-kernel "
-            "dispatch overhead on 8x120x160 arrays dominates at B=1 "
-            "(see segmentation_batch4)"
+            "banded-matmul normal blur (round 3: was a 2.5 ms cumsum scan "
+            "chain) + Hillis-Steele min-scan CC labeling (~1.3 ms latency "
+            "floor of its sequential doubling steps; a Pallas-fused form "
+            "measured at parity) + one-hot MXU moment matmuls; "
+            "docs/PERFORMANCE.md round 3"
         ),
         "bound": _bound("HBM bytes", seg_floor, seg_ms, seg_bound_desc),
     }
@@ -267,10 +268,57 @@ def _bench_stages(builder, raw1, raw2, cfg, aligner, trg_pyr, seam_valid):
         "value": round(seg4_ms, 3),
         "unit": "ms/frame",
         "attribution": (
-            "segment_planes vmapped over a 4-frame batch: identical kernels, "
-            "4x the work per dispatch"
+            "segment_planes vmapped over a 4-frame batch — measured NO "
+            "amortization vs B=1: the stage is bound by sequential "
+            "latency-floor chains (CC doubling steps), which a batch axis "
+            "widens but does not shorten; the round-3 win came from the "
+            "banded-matmul normal blur instead (docs/PERFORMANCE.md)"
         ),
         "bound": _bound("HBM bytes", seg_floor, seg4_ms, seg_bound_desc),
+    }
+
+    # ---- COMPLETE frontend, batch-4: full build (incl. clouds), batched
+    # segmentation, pyramids, dense align — every stage a SLAM frame pays,
+    # in one scan step per 4 frames (round-2 review: the headline pipeline
+    # must not exclude segmentation)
+    sal_cfg, sal_al = cfg, aligner  # the 16k-salient throughput config
+    rgb4 = jnp.stack([rgb[0], rgb[1], rgb[0], rgb[1]])
+    depth4 = jnp.stack([depth[0], depth[1], depth[0], depth[1]])
+
+    def frontend_step(carry):
+        d4 = depth4 + (carry * 0).astype(depth4.dtype)
+        sph = builder._build_batch_impl(params, rgb4, d4)
+        ps = jax.vmap(
+            lambda a, b, c: builder._segment_impl(rt_p, a, b, c)
+        )(sph.local_xyz, sph.cloud_rgb, sph.cloud_valid)
+
+        def one(sg, sd):
+            pyr = D.build_frame_pyramid(sg, sd, sal_cfg, seam_valid,
+                                        allow_pallas=False)
+            res = sal_al._align_impl(pyr, trg_pyr, jnp.eye(4), D.PHOTO_DEPTH)
+            return res.pose
+
+        poses = jax.vmap(one)(sph.sphere_gray, sph.sphere_depth)
+        return carry + poses[0, 0, 0] * 0 + ps.area[0, 0] * 0
+
+    fe_ms = _scan_time_ms(
+        frontend_step, jnp.float32(0), 8, lambda o: np.asarray(o)
+    ) / BATCH
+    fe_floor = (
+        sphere_rows / BATCH + sphere_rows / 4
+    ) * GATHER_MS_PER_ROW + seg_floor
+    stages["frontend_batch4"] = {
+        "value": round(1000.0 / fe_ms, 3),
+        "unit": "frames/sec/chip (build+segment+pyramid+align)",
+        "attribution": (
+            "the COMPLETE per-frame SLAM frontend batched by 4: full build "
+            "with clouds, vmapped 8-sensor segmentation, pyramids, "
+            "16k-salient dense align — nothing excluded"
+        ),
+        "bound": _bound(
+            "gather-row latency + HBM", fe_floor, fe_ms,
+            "stitch gather amortized /4 + align rows + segmentation bytes",
+        ),
     }
 
     # ---- full dense alignment (5 levels, PHOTO_DEPTH, dense sweeps)
@@ -407,18 +455,36 @@ def _bench_slam_frontend(builder, stages):
     from rgbd360_tpu.apps.grabber import synth_capture, synth_trajectory_poses
     from rgbd360_tpu.slam.odometry import KeyframeSLAM
 
+    import types
+
     rt = np.asarray(builder.rt, np.float64)
     n = 48
     gt = synth_trajectory_poses("loop", n, radius=0.8)
     raws = [
         synth_capture(i, rt=rt, pose=gt[i], room="octagon") for i in range(n)
     ]
+    # pre-stage every capture in HBM — the production methodology (the
+    # SequenceDataset prefetch thread streams frames ahead of compute); on
+    # this harness it also keeps the ~30 MB/s tunnel's 2.3 MB/frame upload
+    # (~75 ms, a link artifact) out of the per-frame numbers
+    up0 = time.time()
+    dev = [
+        types.SimpleNamespace(
+            rgb=jnp.asarray(r.rgb), depth_mm=jnp.asarray(r.depth_mm)
+        )
+        for r in raws
+    ]
+    jax.block_until_ready([d.rgb for d in dev])
+    upload_ms = (time.time() - up0) / n * 1000.0
+
     slam = KeyframeSLAM(builder)
-    # warm every program in the loop (compile outside the timed window):
-    # first frames cover map seeding, fused tracking, and a KF event
-    for raw in raws[:6]:
+    # WARMUP LAP: run the whole sequence once so every program in the loop
+    # compiles (fused tracking, KF promotion, connections, LC verify +
+    # rescue, optimizer, partition), then reset the session keeping the
+    # compiled programs — the timed lap measures execution, not XLA.
+    for raw in dev:
         slam.process(raw)
-    warm_frames = 6
+    slam.reset()
 
     # measured empty dispatch+fetch round trip (the tunnel constant)
     trip = jax.jit(lambda x: x + 1)
@@ -429,31 +495,49 @@ def _bench_slam_frontend(builder, stages):
         np.asarray(trip(jnp.float32(i)))
     tunnel_ms = (time.time() - t0) / reps * 1000.0
 
+    times = []
+    events = []
     t0 = time.time()
-    for raw in raws[warm_frames:]:
-        slam.process(raw)
+    for raw in dev:
+        f0 = time.time()
+        events.append(slam.process(raw))
+        times.append(time.time() - f0)
     wall = time.time() - t0
-    n_timed = n - warm_frames
-    raw_ms = wall / n_timed * 1000.0
+    raw_ms = wall / n * 1000.0
     fused = slam.timer.counts.get("fused_track", 0)
     n_kf = int(slam.map.n_kf)
+    tr_ms = [
+        t * 1e3 for t, e in zip(times, events) if not e.get("keyframe")
+    ]
+    kf_ms = [t * 1e3 for t, e in zip(times, events) if e.get("keyframe")]
+    med_tr = float(np.median(tr_ms)) if tr_ms else 0.0
+    med_kf = float(np.median(kf_ms)) if kf_ms else 0.0
     # common-case tracked frame = ONE fused dispatch + ONE fetch = 1 round
-    # trip; KF events add their own (amortized into the mean)
-    corrected_ms = max(raw_ms - tunnel_ms, 0.05)
+    # trip + the 2.3 MB capture upload; both are harness-link artifacts
+    corrected_ms = max(med_tr - tunnel_ms, 0.05)
     stages["slam_frontend"] = {
         "value": round(1000.0 / raw_ms, 3),
         "unit": "frames/sec/chip (measured, sequential tracker)",
         "attribution": (
-            f"MEASURED: {n_timed} frames of KeyframeSLAM.process, "
-            f"{fused}/{n} on the fused single-dispatch path "
-            f"(1 dispatch + 1 fetch per tracked frame), {n_kf} keyframes; "
-            f"tunnel round trip {tunnel_ms:.1f} ms/frame is harness-only — "
-            f"corrected rate {1000.0 / corrected_ms:.1f} fps "
-            f"({corrected_ms:.2f} ms/frame on-chip+host)"
+            f"MEASURED: {n} HBM-prestaged frames of KeyframeSLAM.process "
+            f"after a full warmup lap (programs compiled, session reset), "
+            f"{fused}/{n} on the fused single-dispatch path (1 dispatch + "
+            f"1 fetch per tracked frame), {n_kf} keyframes; median tracked "
+            f"frame {med_tr:.1f} ms, median keyframe event {med_kf:.1f} ms "
+            f"(KF events span tens of dispatches: connection aligns, LC "
+            f"verify, optimize, partition); the {tunnel_ms:.1f} ms harness "
+            f"tunnel round trip rides every dispatch — tracked-frame rate "
+            f"net of it: {1000.0 / corrected_ms:.1f} fps ({corrected_ms:.1f}"
+            f" ms on-chip+host); capture upload measured separately at "
+            f"{upload_ms:.1f} ms/frame over the tunnel (PCIe-negligible in "
+            f"deployment, prefetched either way)"
         ),
         "dispatches_per_tracked_frame": 1,
         "tunnel_roundtrip_ms": round(tunnel_ms, 2),
-        "corrected_fps": round(1000.0 / corrected_ms, 2),
+        "upload_ms_per_frame": round(upload_ms, 2),
+        "median_tracked_ms": round(med_tr, 2),
+        "median_keyframe_ms": round(med_kf, 2),
+        "tracked_fps_net_of_tunnel": round(1000.0 / corrected_ms, 2),
     }
     return stages
 

@@ -306,6 +306,19 @@ class LoopClosureConfig:
     # reject every genuine wide-baseline closure (which carries resampling/
     # occlusion residual of its own).  Threshold = max(ratio * ref, floor).
     photo_gate_floor: float = 2.0
+    # When > 0, the LC dense VERIFICATION aligner thins its GN sweeps to
+    # this many stratified-salient pixels (the tracking loop's 16384-budget
+    # trick) PLUS two dense polish iterations at the finest level.  The
+    # acceptance gates always see FULL-sweep statistics (the final
+    # residual/Hessian sweep of a salient solve is dense), but the solve
+    # must land at the full-sweep pose for borderline candidates: measured
+    # on the rendered closed-loop scenario (round 3, docs/PERFORMANCE.md),
+    # salient-16k ALONE converges ~mm short on wide-baseline closures and
+    # loses 1 of 2 closures at the 2.0 depth gate (residual 2.0+ vs 1.79),
+    # while salient-16k + polish-2 reproduces both decisions with
+    # residuals within 4% of full sweeps.  0 keeps full sweeps (the
+    # gate-calibration configuration, default).
+    verify_salient_pixels: int = 0
 
 
 @dataclass(frozen=True)

@@ -66,22 +66,42 @@ class PlaneSet:
     valid: jnp.ndarray
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=16)
+def _box_band(n: int, k: int):
+    """(n, n) float32 matrix EXACTLY reproducing the former
+    cumsum-of-edge-padded box filter: out_i = (c[b_i] - c[a_i]) / k with
+    c = cumsum, a_i = clip(i - k//2 - 1, 0, n-1), b_i = clip(i + k - k//2
+    - 1, 0, n-1) — i.e. window (a_i, b_i], uniform 1/k weights, truncated
+    (NOT renormalized) at the borders.  The boundary weighting is part of
+    the validated normal-estimation behavior (a "corrected" clamped window
+    shifts border normals enough to change half-res plane matching —
+    measured in the soak).  A banded matmul runs on the MXU in one pass;
+    the cumsum form lowered to a chain of log-step scan kernels that
+    dominated the normal-estimation stage (2.5 of the 6.3 ms stage)."""
+    import numpy as _np
+
+    a = _np.zeros((n, n), _np.float32)
+    lpad = k // 2 + 1
+    for i in range(n):
+        lo = min(max(i - lpad, 0), n - 1)
+        hi = min(max(i + k - lpad, 0), n - 1)
+        a[i, lo + 1 : hi + 1] = 1.0 / k
+    return a
+
+
 def _box_blur(x: jnp.ndarray, k: int) -> jnp.ndarray:
-    """Separable box blur over the last two axes via cumsum differences."""
+    """Separable box blur over the last two axes as banded MXU matmuls."""
     if k <= 1:
         return x
-
-    def blur_axis(a, axis):
-        n = a.shape[axis]
-        c = jnp.cumsum(a, axis=axis)
-        pad = [(0, 0)] * a.ndim
-        pad[axis] = (k // 2 + 1, k - k // 2 - 1)
-        c = jnp.pad(c, pad, mode="edge")
-        hi = jax.lax.slice_in_dim(c, k, k + n, axis=axis)
-        lo = jax.lax.slice_in_dim(c, 0, n, axis=axis)
-        return (hi - lo) / k
-
-    return blur_axis(blur_axis(x, -2), -1)
+    hi = jax.lax.Precision.HIGHEST
+    h, w = x.shape[-2], x.shape[-1]
+    a_h = jnp.asarray(_box_band(h, k))
+    a_w = jnp.asarray(_box_band(w, k))
+    x = jnp.matmul(a_h, x, precision=hi)
+    return jnp.matmul(x, a_w.T, precision=hi)
 
 
 def estimate_normals(
@@ -169,7 +189,12 @@ def _connected_labels(compat_r, compat_c, valid, iters: int) -> jnp.ndarray:
     rr_f = jnp.concatenate([edge_r, brk_r], axis=0)
     rr_b = jnp.concatenate([brk_r, edge_r], axis=0)
     # each alternation strictly dominates one diffusion step; regions in
-    # organized depth images converge in a few passes
+    # organized depth images converge in a few passes.  (A Pallas-fused
+    # form of this whole loop was built and measured at exact parity with
+    # this XLA chain — 1.31 vs 1.32 ms on the v5e — XLA already fuses the
+    # roll/min chain into few kernels; the simpler form stays.  The
+    # stage's real cost was the cumsum box blur in estimate_normals, now a
+    # banded MXU matmul.  docs/PERFORMANCE.md round 3.)
     n_alt = max(2, min(iters, 8))
 
     def step(_, lab):

@@ -263,7 +263,17 @@ def pose_from_matches(
     for _ in range(2):
         r_t = jnp.einsum("ki,i->k", n1, t) - (d2 - d1)
         r_r = 1.0 - jnp.einsum("ki,ki->k", n1, n2 @ rot.T)
-        keep = (jnp.abs(r_t) < 0.15) & (r_r < 0.01)
+        # scale-adaptive cut: threshold = max(floor, 4x the Huber-weighted
+        # RMS residual).  On clean data the floors bind (0.15 m / 0.01 =
+        # ~8 deg); in noisy regimes (low-res, degraded renders) genuine
+        # pairs carry residuals well above the floors and an absolute cut
+        # would shred the match set and collapse the translation — the
+        # IRLS weights already bound how much true outliers inflate the
+        # scale estimate.
+        wsum = jnp.maximum(jnp.sum(w), 1e-9)
+        thr_t = jnp.maximum(0.15, 4.0 * jnp.sqrt(jnp.sum(w * r_t**2) / wsum))
+        thr_r = jnp.maximum(0.01, 4.0 * jnp.sqrt(jnp.sum(w * r_r**2) / wsum))
+        keep = (jnp.abs(r_t) < thr_t) & (r_r < thr_r)
         cut = (w > 0.0) & ~keep
         same_dir = jnp.abs(jnp.einsum("ki,li->kl", n1, n1)) > 0.966  # ~15 deg
         suspect = jnp.any(same_dir & cut[None, :], axis=1)

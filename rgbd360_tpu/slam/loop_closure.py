@@ -137,7 +137,21 @@ class LoopCloser:
                     mesh, map_planes, query, gate, config.matcher, PLANAR_3DOF
                 )
             )
-        self._aligner = D.DenseAligner(config.dense)
+        import dataclasses as _dc
+
+        verify_cfg = (
+            _dc.replace(
+                config.dense,
+                salient_pixels=config.lc.verify_salient_pixels,
+                # polish is mandatory with thinned verify sweeps: without
+                # it borderline closures fail the depth gate (measured,
+                # LoopClosureConfig.verify_salient_pixels)
+                polish_iters=max(2, config.dense.polish_iters),
+            )
+            if config.lc.verify_salient_pixels > 0
+            else config.dense
+        )
+        self._aligner = D.DenseAligner(verify_cfg)
         self._pyr = jax.jit(
             lambda g, d: D.build_frame_pyramid(g, d, config.dense)
         )

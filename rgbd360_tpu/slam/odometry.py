@@ -50,6 +50,13 @@ def fetch(tree):
     return jax.device_get(tree)
 
 
+def rotation_angle_np(r: np.ndarray) -> float:
+    """Host-side rotation angle (radians).  The guards below run per frame
+    on 3x3 host matrices; routing them through a jitted device op costs a
+    full dispatch round trip each on a remote-attached chip."""
+    return float(np.arccos(np.clip((np.trace(r[:3, :3]) - 1.0) * 0.5, -1.0, 1.0)))
+
+
 def is_motion_continuous(
     rel: np.ndarray, max_translation: float, max_rotation: float
 ) -> bool:
@@ -57,7 +64,7 @@ def is_motion_continuous(
     `Registration/OdometryKeyFrame360.cpp:75-95`,
     `include/Miscellaneous.h:69-72`)."""
     dt = float(np.linalg.norm(rel[:3, 3]))
-    dr = float(np.asarray(se3.rotation_angle(jnp.asarray(rel[:3, :3]))))
+    dr = rotation_angle_np(np.asarray(rel))
     return dt < max_translation and dr < max_rotation
 
 
@@ -385,6 +392,12 @@ class KeyframeSLAM(TrackerBase):
         self.relocalizer = Relocalizer(cfg, mesh=mesh)
         self.current_kf = -1
         self.kf_state: FrameState | None = None
+        # host-side mirror of the optimized pose array: per-frame policy
+        # reads (keyframe pose, trajectory anchors) would otherwise cost a
+        # device round trip EACH on a remote-attached chip.  Invalidated on
+        # any event that changes optimized poses (keyframe add, optimize,
+        # resume).
+        self._opt_poses_host: np.ndarray | None = None
         # KF payloads are immutable -> their pyramids are memoized
         self._kf_pyr_cache: dict = {}
         # host-side mirror of the graph's edge pairs, kept incrementally so
@@ -414,6 +427,43 @@ class KeyframeSLAM(TrackerBase):
 
     # ------------------------------------------------------------ helpers
 
+    def reset(self) -> None:
+        """Clear the SLAM session (map, trajectory, tracking state) while
+        keeping every compiled program — restart without recompilation
+        (deployment session cycling; also how the bench separates compile
+        time from steady-state tracking time)."""
+        cfg = self.config
+        self.map = Map360.empty(
+            cfg.map,
+            cfg.sphere.height,
+            cfg.sphere.width,
+            cfg.seg.max_planes,
+            cfg.seg.hull_dirs,
+        )
+        self.current_kf = -1
+        self.kf_state = None
+        self._opt_poses_host = None
+        self._kf_pyr_cache = {}
+        self._edge_set = set()
+        self.pose = np.eye(4)
+        self.trajectory = []
+        self.lost = False
+        self.n_loop_closures = 0
+        self.events = []
+        self.track_rel = None
+        self.last_step = np.eye(4)
+        self._last_frame = None
+        self.frame_anchors = []
+        self._ref_photo = None
+        self.timer.reset()
+
+    def _opt_pose(self, k: int) -> np.ndarray:
+        """Optimized pose of keyframe k from the host mirror (one bulk pull
+        per invalidation instead of one round trip per read)."""
+        if self._opt_poses_host is None:
+            self._opt_poses_host = np.asarray(self.map.opt_poses)
+        return self._opt_poses_host[k]
+
     def _add_keyframe(self, state: FrameState, pose: np.ndarray) -> int:
         k = int(self.map.n_kf)
         # a new keyframe joins its tracking parent's topological area; the
@@ -433,6 +483,7 @@ class KeyframeSLAM(TrackerBase):
         )
         self.current_kf = k
         self.kf_state = state
+        self._opt_poses_host = None
         self._kf_pyr_cache[k] = state.pyramid
         # the new KF IS the last tracked frame; the frame-to-frame step of
         # the motion model remains valid across the reference switch
@@ -499,6 +550,7 @@ class KeyframeSLAM(TrackerBase):
         self.lost = bool(data["lost"])
         self.n_loop_closures = int(data["n_loop_closures"])
         self.kf_state = None  # pyramids rebuilt lazily from the map payload
+        self._opt_poses_host = None
         self._kf_pyr_cache = {}
         self._edge_set = {
             (int(a), int(b))
@@ -526,7 +578,7 @@ class KeyframeSLAM(TrackerBase):
         """Close out a frame: record trajectory sample, its keyframe anchor
         (for `optimized_trajectory`), and the event."""
         kf = max(self.current_kf, 0)
-        anchor = np.linalg.inv(np.asarray(self.map.opt_poses[kf])) @ self.pose
+        anchor = np.linalg.inv(self._opt_pose(kf)) @ self.pose
         self.frame_anchors.append((kf, anchor))
         self.trajectory.append(self.pose.copy())
         self.events.append(ev)
@@ -549,7 +601,7 @@ class KeyframeSLAM(TrackerBase):
         last-good promotion candidate and refresh the LC photo-gate
         reference level (degraded solves must NOT loosen that gate)."""
         kf_cfg = self.config.kf
-        ang = float(np.asarray(se3.rotation_angle(jnp.asarray(rel[:3, :3]))))
+        ang = rotation_angle_np(np.asarray(rel))
         healthy = depth_res < kf_cfg.select_kf_icp_dist
         small_rot = ang < kf_cfg.max_rotation_keyframes
         small_motion = (
@@ -599,6 +651,7 @@ class KeyframeSLAM(TrackerBase):
                     loop_mask=loop_mask, dcs_phi=g.dcs_phi,
                 )
         self.map = self.map.with_optimized(poses)
+        self._opt_poses_host = None
         return float(chi2), int(iters)
 
     # ------------------------------------------------------------ process
@@ -716,7 +769,7 @@ class KeyframeSLAM(TrackerBase):
             rel_r = np.asarray(res_r.pose)  # dense-refined T_kf<-frame
             self.current_kf = r.kf
             self.kf_state = None  # pyramid of that KF rebuilt below
-            self.pose = np.asarray(self.map.opt_poses[r.kf]) @ rel_r
+            self.pose = self._opt_pose(r.kf) @ rel_r
             self.lost = False
             self.track_rel = rel_r
             self.last_step = np.eye(4)
@@ -743,7 +796,7 @@ class KeyframeSLAM(TrackerBase):
                 pb = self.plane_reg.register(
                     kf_planes, state.planes, mode=PLANAR_3DOF
                 )
-        kf_pose = np.asarray(self.map.opt_poses[self.current_kf])
+        kf_pose = self._opt_pose(self.current_kf)
 
         # dense tracking: T_kf<-new (reference :370-373); seed chain =
         # constant-velocity prediction, then the PbMap pose
@@ -820,12 +873,12 @@ class KeyframeSLAM(TrackerBase):
             if lf["state"] is state:
                 # the current frame itself was the healthy candidate
                 # (rotation-triggered promotion): it IS the new keyframe
-                self.pose = np.asarray(self.map.opt_poses[k])
+                self.pose = self._opt_pose(k)
                 self.track_rel = np.eye(4)
                 return self._emit(ev)
             # re-track the current frame against the new KF, seeded by the
             # current estimate mapped into the new KF's frame
-            kf_pose = np.asarray(self.map.opt_poses[k])
+            kf_pose = self._opt_pose(k)
             seed = np.linalg.inv(lf["rel"]) @ rel
             with self.timer.region("register_dense"):
                 res = fetch(
@@ -880,11 +933,7 @@ class KeyframeSLAM(TrackerBase):
         if pb is not None and bool(pb.success):
             dpb = np.asarray(pb.pose)
             dt = np.linalg.norm(dpb[:3, 3] - rel[:3, 3])
-            dr = float(
-                np.asarray(
-                    se3.rotation_angle(jnp.asarray(dpb[:3, :3].T @ rel[:3, :3]))
-                )
-            )
+            dr = rotation_angle_np(dpb[:3, :3].T @ rel[:3, :3])
             if dt < 0.1 and dr < np.deg2rad(5):
                 self._add_edge(
                     prev_kf,
@@ -895,7 +944,7 @@ class KeyframeSLAM(TrackerBase):
                 )
 
         if self._post_keyframe(state, k, ev):
-            self.pose = np.asarray(self.map.opt_poses[k])
+            self.pose = self._opt_pose(k)
         return self._emit(ev)
 
     @staticmethod
@@ -931,7 +980,7 @@ class KeyframeSLAM(TrackerBase):
         True when optimization ran (the caller refreshes poses read from the
         map afterwards)."""
         kf_cfg = self.config.kf
-        kf_pose = np.asarray(self.map.opt_poses[k])
+        kf_pose = self._opt_pose(k)
         # neighbor-keyframe connections: dense-align against nearby KFs of
         # the SAME or a NEIGHBOR topological area and add extra edges
         # (reference KFsphere_SLAM.cpp:405-461 searches same/neighbor-area

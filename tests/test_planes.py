@@ -238,3 +238,58 @@ class TestRealFrames:
         dt = np.linalg.norm(t[:3, 3])
         # must roughly agree with the dense result (|t| ~ 0.32 m)
         assert 0.1 < dt < 0.8, t[:3, 3]
+
+
+def test_segment_planes_batch_matches_single(calibration, sample_paths):
+    """segment_planes_batch (vmapped over a frame batch) must reproduce the
+    per-frame segmentation exactly."""
+    import jax
+
+    from rgbd360_tpu.core.frame import FrameBuilder
+    from rgbd360_tpu.io.bin_format import read_rig_frame
+
+    b = FrameBuilder(calibration)
+    frames = [b.build_from_raw(read_rig_frame(p)) for p in sample_paths[:2]]
+    singles = [b.segment_planes(f) for f in frames]
+    batch = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), frames[0], frames[1]
+    )
+    batched = b.segment_planes_batch(batch)
+    for i, single in enumerate(singles):
+        one = jax.tree_util.tree_map(lambda a: a[i], batched)
+        for name in ("normal", "center", "d", "area", "valid"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(one, name)),
+                np.asarray(getattr(single, name)),
+                atol=1e-5,
+                err_msg=f"frame {i} field {name}",
+            )
+
+
+def test_box_blur_matches_cumsum_reference(rng):
+    """The banded-matmul box blur must reproduce the former cumsum-of-
+    edge-padded formulation EXACTLY (incl. its truncated, unrenormalized
+    border windows): border weighting is part of the validated normal-
+    estimation behavior — a 'corrected' clamped window shifted border
+    normals enough to break half-res plane matching in the soak (round 3)."""
+    from rgbd360_tpu.ops.segmentation import _box_blur
+
+    def old_box_blur(x, k):
+        def blur_axis(a, axis):
+            n = a.shape[axis]
+            c = jnp.cumsum(a, axis=axis)
+            pad = [(0, 0)] * a.ndim
+            pad[axis] = (k // 2 + 1, k - k // 2 - 1)
+            c = jnp.pad(c, pad, mode="edge")
+            hi = jax.lax.slice_in_dim(c, k, k + n, axis=axis)
+            lo = jax.lax.slice_in_dim(c, 0, n, axis=axis)
+            return (hi - lo) / k
+
+        return blur_axis(blur_axis(x, -2), -1)
+
+    for shape, k in (((4, 40, 24), 8), ((33, 57), 8), ((16, 20), 5)):
+        x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(_box_blur(x, k)), np.asarray(old_box_blur(x, k)),
+            atol=1e-5,
+        )

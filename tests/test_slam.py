@@ -454,3 +454,21 @@ class TestPCGGraph:
         poses, chi2, iters = optimize_pose_graph_pcg(g, max_iters=10)
         assert np.isfinite(np.asarray(poses)).all()
         assert float(chi2) < 0.1 * chi2_0, (float(chi2), chi2_0)
+
+
+def test_lc_salient_verify_wiring():
+    """verify_salient_pixels > 0 must give the LC verify aligner the
+    salient budget AND the mandatory dense polish (measured: thinned
+    sweeps without polish lose borderline closures at the depth gate —
+    see LoopClosureConfig.verify_salient_pixels)."""
+    from dataclasses import replace
+
+    from rgbd360_tpu.slam.loop_closure import LoopCloser
+
+    cfg = default_config()
+    lc = LoopCloser(cfg.replace(lc=replace(cfg.lc, verify_salient_pixels=16384)))
+    assert lc._aligner.cfg.salient_pixels == 16384
+    assert lc._aligner.cfg.polish_iters >= 2
+    # default stays full-sweep (the gate-calibration configuration)
+    lc_full = LoopCloser(cfg)
+    assert lc_full._aligner.cfg.salient_pixels == cfg.dense.salient_pixels
