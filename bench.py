@@ -81,13 +81,15 @@ def _bench_pipeline(builder, raw1, raw2, cfg, aligner, trg_pyr, seam_valid):
 
     def step(carry, ib):
         sg_b, sd_b = builder._build_gray_depth_batch_impl(params, rgb[ib], depth[ib])
+        # batched pyramids with the fused Pallas level-0 gradients (the
+        # per-frame vmap form could not use the halo kernel)
+        pyr_b = D.build_frame_pyramid_batch(sg_b, sd_b, cfg, seam_valid)
 
-        def one(sg, sd):
-            pyr = D.build_frame_pyramid(sg, sd, cfg, seam_valid, allow_pallas=False)
+        def one(pyr):
             res = aligner._align_impl(pyr, trg_pyr, jnp.eye(4), D.PHOTO_DEPTH)
             return res.pose, res.error
 
-        poses, errs = jax.vmap(one)(sg_b, sd_b)
+        poses, errs = jax.vmap(one)(pyr_b)
         return carry, (poses, errs)
 
     @jax.jit
@@ -197,9 +199,7 @@ def _bench_stages(builder, raw1, raw2, cfg, aligner, trg_pyr, seam_valid):
     f1 = builder.build_from_raw(raw1)
 
     def pyr_step(carry):
-        pyr = D.build_frame_pyramid(
-            carry, f1.sphere_depth, cfg, seam_valid, allow_pallas=False
-        )
+        pyr = D.build_frame_pyramid(carry, f1.sphere_depth, cfg, seam_valid)
         return carry + pyr.gray[-1][0, 0] * 0
 
     pyr_ms = _scan_time_ms(pyr_step, f1.sphere_gray, 32, lambda o: np.asarray(o))
@@ -292,13 +292,15 @@ def _bench_stages(builder, raw1, raw2, cfg, aligner, trg_pyr, seam_valid):
             lambda a, b, c: builder._segment_impl(rt_p, a, b, c)
         )(sph.local_xyz, sph.cloud_rgb, sph.cloud_valid)
 
-        def one(sg, sd):
-            pyr = D.build_frame_pyramid(sg, sd, sal_cfg, seam_valid,
-                                        allow_pallas=False)
+        pyr_b = D.build_frame_pyramid_batch(
+            sph.sphere_gray, sph.sphere_depth, sal_cfg, seam_valid
+        )
+
+        def one(pyr):
             res = sal_al._align_impl(pyr, trg_pyr, jnp.eye(4), D.PHOTO_DEPTH)
             return res.pose
 
-        poses = jax.vmap(one)(sph.sphere_gray, sph.sphere_depth)
+        poses = jax.vmap(one)(pyr_b)
         return carry + poses[0, 0, 0] * 0 + ps.area[0, 0] * 0
 
     fe_ms = _scan_time_ms(

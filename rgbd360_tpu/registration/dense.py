@@ -139,6 +139,66 @@ def build_frame_pyramid(
     )
 
 
+def build_frame_pyramid_batch(
+    grays: jnp.ndarray,
+    depths: jnp.ndarray,
+    cfg: DenseRegConfig = DenseRegConfig(),
+    seam_valid=None,
+    num_sensors: int = 8,
+) -> FramePyramid:
+    """Batched pyramid build (leading frame axis), Pallas-gradient capable.
+
+    The fused gradient kernel has no vmap batching rule (halo DMA), so the
+    batched pipelines previously fell back to the XLA roll-chain gradients
+    (allow_pallas=False).  Here the per-frame builder is vmapped WITHOUT
+    Pallas and the level-0 gradients — the expensive full-resolution ones —
+    are then recomputed by the fused kernel over the whole batch as ONE
+    row-stacked (B*H, W) image and swapped in; XLA dead-code-eliminates
+    the vmapped level-0 gradients they replace.  Frame-boundary halo rows
+    only influence each frame's first/last gy rows, which the gradient
+    border convention zeroes anyway (gx is row-local) — bit-equal to the
+    vmapped form (tested)."""
+    import dataclasses as _dc
+
+    from rgbd360_tpu.ops import pallas_kernels as K
+
+    if seam_valid is not None and not isinstance(seam_valid, (tuple, list)):
+        seam_valid = seam_masks_per_level(seam_valid, cfg.pyramid_levels)
+    pyr = jax.vmap(
+        lambda g, d: build_frame_pyramid(
+            g, d, cfg, seam_valid, num_sensors, True, allow_pallas=False
+        )
+    )(grays, depths)
+    b, h, w = grays.shape
+    if not (K.use_pallas() and h % 16 == 0 and w % 128 == 0):
+        return pyr
+
+    row = jnp.arange(h)
+    rmask = ((row > 0) & (row < h - 1))[None, :, None]
+
+    def batch_grad(imgs):
+        gx, gy = K.fused_gradients(imgs.reshape(b * h, w), 16)
+        return gx.reshape(b, h, w), gy.reshape(b, h, w) * rmask
+
+    gx, gy = batch_grad(pyr.gray[0])
+    hx, hy = batch_grad(pyr.depth[0])
+    if seam_valid is not None:
+        m = seam_valid[0].astype(gx.dtype)
+        gx, gy, hx, hy = gx * m, gy * m, hx * m, hy * m
+    else:
+        gx = pyr_ops.mask_seams_batch(gx, num_sensors, max(1, cfg.seam_mask_px // 2))
+        gy = pyr_ops.mask_seams_batch(gy, num_sensors, max(1, cfg.seam_mask_px // 2))
+        hx = pyr_ops.mask_seams_batch(hx, num_sensors, max(1, cfg.seam_mask_px // 2))
+        hy = pyr_ops.mask_seams_batch(hy, num_sensors, max(1, cfg.seam_mask_px // 2))
+    return _dc.replace(
+        pyr,
+        gray_gx=(gx,) + tuple(pyr.gray_gx[1:]),
+        gray_gy=(gy,) + tuple(pyr.gray_gy[1:]),
+        depth_gx=(hx,) + tuple(pyr.depth_gx[1:]),
+        depth_gy=(hy,) + tuple(pyr.depth_gy[1:]),
+    )
+
+
 # ------------------------------------------------------------------ kernels
 
 

@@ -42,3 +42,45 @@ def test_dispatch_gate_defaults_off(monkeypatch):
     monkeypatch.setenv("RGBD360_USE_PALLAS", "1")
     # on CPU _on_tpu() is False, so still off — the gate composes both
     assert K.use_pallas() == K._on_tpu()
+
+
+def test_build_frame_pyramid_batch_matches_vmap(rng):
+    """The batched builder (Pallas level-0 gradients via row-stacking) must
+    equal the vmapped per-frame builder.  On CPU the kernel runs in
+    interpreter mode, exercising the same code path."""
+    import os
+
+    import jax
+
+    from rgbd360_tpu.config import DenseRegConfig
+    from rgbd360_tpu.registration import dense as D
+
+    os.environ.pop("RGBD360_USE_PALLAS", None)
+    cfg = DenseRegConfig(pyramid_levels=3)
+    b, h, w = 3, 32, 256
+    grays = jnp.asarray(rng.uniform(0, 1, (b, h, w)).astype(np.float32))
+    depths = jnp.asarray((2 + rng.uniform(0, 2, (b, h, w))).astype(np.float32))
+    seam = jnp.asarray(rng.uniform(size=(h, w)) > 0.05)
+    seam_levels = D.seam_masks_per_level(seam, cfg.pyramid_levels)
+
+    ref = jax.vmap(
+        lambda g, d: D.build_frame_pyramid(g, d, cfg, seam_levels,
+                                           allow_pallas=False)
+    )(grays, depths)
+
+    # force the pallas path even on CPU (interpret mode)
+    import rgbd360_tpu.ops.pallas_kernels as K
+
+    orig = K.use_pallas
+    K.use_pallas = lambda: True
+    try:
+        got = D.build_frame_pyramid_batch(grays, depths, cfg, seam_levels)
+    finally:
+        K.use_pallas = orig
+
+    for field in ("gray", "depth", "gray_gx", "gray_gy", "depth_gx", "depth_gy"):
+        for lvl, (a, c) in enumerate(zip(getattr(got, field), getattr(ref, field))):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(c), atol=1e-6,
+                err_msg=f"{field} level {lvl}",
+            )
