@@ -944,3 +944,38 @@ def entropy_from_hessian(hess: jnp.ndarray) -> jnp.ndarray:
     from rgbd360_tpu.utils.metrics import entropy
 
     return entropy(hess)
+
+
+def batch_align_targets(aligner, src_pyr, trg_pyrs: list, seeds: list):
+    """Dense-align ONE source pyramid against SEVERAL target pyramids in
+    one vmapped dispatch — the per-keyframe-event pattern (connection
+    candidates, loop-closure verifications), where a sequential loop pays
+    one dispatch + fetch round trip per candidate.
+
+    `trg_pyrs`/`seeds` are python lists; the batch is padded to the next
+    power of two by repeating the first entry, so ONE compiled program per
+    power-of-two size serves every event (padding entries are computed and
+    discarded — one wider dispatch still beats per-candidate round trips).
+    Returns the FETCHED result pytree with a leading axis of
+    len(trg_pyrs)."""
+    import numpy as _np
+
+    n = len(trg_pyrs)
+    cap = 1
+    while cap < n:
+        cap *= 2
+    trg_pyrs = list(trg_pyrs) + [trg_pyrs[0]] * (cap - n)
+    seeds = [_np.asarray(s) for s in seeds] + [_np.eye(4)] * (cap - n)
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trg_pyrs)
+    cache = getattr(aligner, "_batch_targets_jit", None)
+    if cache is None:
+        def impl(src, trgs, sds):
+            return jax.vmap(
+                lambda t, s: aligner._align_impl(src, t, s, PHOTO_DEPTH)
+            )(trgs, sds)
+
+        cache = aligner._batch_targets_jit = jax.jit(impl)
+    res = jax.device_get(
+        cache(src_pyr, stacked, jnp.asarray(_np.stack(seeds)))
+    )
+    return jax.tree_util.tree_map(lambda a: a[:n], res)

@@ -267,14 +267,18 @@ class LoopCloser:
                 and not bool(res.ill_posed)
             )
 
-        for k in cand:
-            kf_pyr = self.kf_pyramid(map360, int(k), pyr_cache)
-            # seed: plane pose maps x_kf = T x_query; dense align(query, kf)
-            # optimizes T_kf<-query when called as align(src=query, trg=kf)
-            seed = jnp.asarray(cand_pose[int(k)])
-            res = jax.device_get(
-                self._aligner.align(q_pyr, kf_pyr, seed, method=D.PHOTO_DEPTH)
-            )
+        # first-pass verification of ALL surviving candidates in ONE
+        # vmapped dispatch (was one dispatch + fetch per candidate); seeds:
+        # the plane pose maps x_kf = T x_query, and align(query, kf)
+        # optimizes exactly that T_kf<-query
+        cand_pyrs = [self.kf_pyramid(map360, int(k), pyr_cache) for k in cand]
+        res_b = D.batch_align_targets(
+            self._aligner, q_pyr, cand_pyrs,
+            [cand_pose[int(k)] for k in cand],
+        )
+        for i, k in enumerate(cand):
+            kf_pyr = cand_pyrs[i]
+            res = jax.tree_util.tree_map(lambda a: a[i], res_b)
             if not gates_ok(res):
                 # heading rescue: the plane seed may be yaw-aliased —
                 # coarse-GN-refine left-composed yaw hypotheses in one

@@ -154,6 +154,12 @@ class TrackerBase:
             self._fused_track = jax.jit(impl)
         return self._fused_track
 
+    def batch_align(self, src_pyr, trg_pyrs: list, seeds: list):
+        """Dense-align ONE source against SEVERAL target pyramids in one
+        vmapped dispatch (the per-keyframe-event pattern: connection
+        candidates, LC verifications) — see `dense.batch_align_targets`."""
+        return D.batch_align_targets(self.aligner, src_pyr, trg_pyrs, seeds)
+
     def align_with_fallback(
         self, src_pyr, trg_pyr, seeds, prev_rel=None, pre=None
     ):
@@ -1008,26 +1014,32 @@ class KeyframeSLAM(TrackerBase):
             and (k, int(kf)) not in self._edge_set
         ]
         n_connections = 0
-        for kf, seed2 in near[: kf_cfg.max_connections]:
-            kf_pyr2 = self.loop_closer.kf_pyramid(self.map, kf, self._kf_pyr_cache)
-            res2 = fetch(
-                self.aligner.align(
-                    state.pyramid, kf_pyr2, jnp.asarray(seed2),
-                    method=D.PHOTO_DEPTH,
-                )
+        cands = near[: kf_cfg.max_connections]
+        if cands:
+            # ALL candidate alignments in ONE vmapped dispatch (was one
+            # dispatch + fetch round trip per candidate)
+            pyrs = [
+                self.loop_closer.kf_pyramid(self.map, kf, self._kf_pyr_cache)
+                for kf, _ in cands
+            ]
+            res_b = self.batch_align(
+                state.pyramid, pyrs, [seed for _, seed in cands]
             )
-            if (
-                not bool(res2.ill_posed)
-                and float(res2.av_depth_residual) < kf_cfg.max_connection_residual
-            ):
-                self._add_edge(
-                    kf,
-                    k,
-                    jnp.asarray(res2.pose),
-                    jnp.asarray(res2.hessian),
-                    sso=float(res2.sso),
-                )
-                n_connections += 1
+            for i, (kf, _) in enumerate(cands):
+                res2 = jax.tree_util.tree_map(lambda a: a[i], res_b)
+                if (
+                    not bool(res2.ill_posed)
+                    and float(res2.av_depth_residual)
+                    < kf_cfg.max_connection_residual
+                ):
+                    self._add_edge(
+                        kf,
+                        k,
+                        jnp.asarray(res2.pose),
+                        jnp.asarray(res2.hessian),
+                        sso=float(res2.sso),
+                    )
+                    n_connections += 1
         ev["connections"] = ev.get("connections", 0) + n_connections
 
         # loop closures for the new keyframe
