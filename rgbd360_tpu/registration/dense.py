@@ -966,16 +966,24 @@ def batch_align_targets(aligner, src_pyr, trg_pyrs: list, seeds: list):
         cap *= 2
     trg_pyrs = list(trg_pyrs) + [trg_pyrs[0]] * (cap - n)
     seeds = [_np.asarray(s) for s in seeds] + [_np.eye(4)] * (cap - n)
-    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trg_pyrs)
-    cache = getattr(aligner, "_batch_targets_jit", None)
-    if cache is None:
-        def impl(src, trgs, sds):
+    # the pytree stack happens INSIDE the jitted program: eager jnp.stack
+    # over the ~30 pyramid leaves costs one dispatch round trip EACH on a
+    # remote-attached chip (measured: it more than undid the batching win)
+    caches = getattr(aligner, "_batch_targets_jit", None)
+    if caches is None:
+        caches = aligner._batch_targets_jit = {}
+    if cap not in caches:
+
+        def impl(src, sds, *trgs):
+            stacked = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *trgs
+            )
             return jax.vmap(
                 lambda t, s: aligner._align_impl(src, t, s, PHOTO_DEPTH)
-            )(trgs, sds)
+            )(stacked, sds)
 
-        cache = aligner._batch_targets_jit = jax.jit(impl)
+        caches[cap] = jax.jit(impl)
     res = jax.device_get(
-        cache(src_pyr, stacked, jnp.asarray(_np.stack(seeds)))
+        caches[cap](src_pyr, jnp.asarray(_np.stack(seeds)), *trg_pyrs)
     )
     return jax.tree_util.tree_map(lambda a: a[:n], res)

@@ -156,6 +156,24 @@ class LoopCloser:
             lambda g, d: D.build_frame_pyramid(g, d, config.dense)
         )
 
+    def _scan_select_impl(
+        self, query, map_planes, opt_poses, n_kf, area, n_areas, sso,
+        edges_ij, emask, query_pose, query_kf, exclude_recent, radius,
+        min_matches, min_area, area_gating: bool, k: int,
+    ):
+        """Gate + batch plane match + top-k survivor selection as ONE
+        program (single-device path): a keyframe event costs one dispatch
+        and one O(k) fetch here instead of three round trips."""
+        gate = _gate_kernel(
+            opt_poses, n_kf, area, n_areas, sso, edges_ij, emask,
+            query_pose, query_kf, exclude_recent, radius,
+            area_gating=area_gating,
+        )
+        n_m, area_m, pose, info, obs = self._batch_match_impl(
+            query, map_planes, gate
+        )
+        return _select_candidates(n_m, area_m, obs, pose, min_matches, min_area, k)
+
     def _batch_match_impl(self, query: PlaneSet, map_planes: PlaneSet, gate):
         """vmap the plane matcher over all keyframes; returns per-KF
         (n_matches, matched_area, pose, info, observable)."""
@@ -228,19 +246,51 @@ class LoopCloser:
 
         # area-driven candidate gate over OPTIMIZED poses — computed and
         # consumed on device; only the top-k survivors (indices + seed
-        # poses) cross the host link
-        gate = candidate_gate(map360, query_pose, query_kf, exclude_recent, lc_cfg)
-        n_m, area, pose, info, obs = self._batch_match(
-            query_planes, map360.planes, gate
-        )
-        top_idx, top_ok, top_pose = jax.device_get(
-            _select_candidates(
-                n_m, area, obs, pose,
-                jnp.asarray(lc_cfg.min_matches),
-                jnp.asarray(lc_cfg.min_area),
-                k=max_dense_checks,
+        # poses) cross the host link.  Single-device: gate + match + select
+        # fuse into ONE dispatch; sharded: the KF-sharded scan stays its
+        # own program between the gate and the select.
+        if self.mesh is None:
+            if not hasattr(self, "_scan_select"):
+                self._scan_select = jax.jit(
+                    self._scan_select_impl,
+                    static_argnames=("area_gating", "k"),
+                )
+            top_idx, top_ok, top_pose = jax.device_get(
+                self._scan_select(
+                    query_planes,
+                    map360.planes,
+                    map360.opt_poses,
+                    map360.n_kf,
+                    map360.area,
+                    map360.n_areas,
+                    map360.sso,
+                    map360.graph.edges_ij,
+                    map360.graph.emask,
+                    jnp.asarray(query_pose),
+                    jnp.asarray(query_kf),
+                    jnp.asarray(exclude_recent),
+                    jnp.asarray(lc_cfg.search_radius),
+                    jnp.asarray(lc_cfg.min_matches),
+                    jnp.asarray(lc_cfg.min_area),
+                    area_gating=bool(lc_cfg.area_gating),
+                    k=max_dense_checks,
+                )
             )
-        )
+        else:
+            gate = candidate_gate(
+                map360, query_pose, query_kf, exclude_recent, lc_cfg
+            )
+            n_m, area, pose, info, obs = self._batch_match(
+                query_planes, map360.planes, gate
+            )
+            top_idx, top_ok, top_pose = jax.device_get(
+                _select_candidates(
+                    n_m, area, obs, pose,
+                    jnp.asarray(lc_cfg.min_matches),
+                    jnp.asarray(lc_cfg.min_area),
+                    k=max_dense_checks,
+                )
+            )
         cand = [int(i) for i, v in zip(top_idx, top_ok) if v]
         if not cand:
             return []
