@@ -342,14 +342,16 @@ class FrameBuilder:
             self._build_pyr = jax.jit(impl)
         return self._build_pyr(self._params, frame.rgb, frame.depth)
 
-    def build_full(self, frame: RigFrame):
-        """Fused frame build + alignment pyramid + plane segmentation in ONE
-        jitted program — one device dispatch covers the whole per-frame
-        SLAM-frontend state (the reference's load/undistort/stitch/cloud/
-        getPlanes sequence, `Frame360.h:231-615`).  On a remote-attached
-        chip each dispatch costs a tunnel round trip, so the 3-dispatch
-        make_state (build, pyramid, segment) paid ~3x the fixed latency."""
-        if not hasattr(self, "_build_full"):
+    def frontend_impl(self):
+        """(params, rgb, depth_raw) -> (sphere, pyramid, planes), UNJITTED —
+        the single shared composition of the per-frame frontend (build +
+        alignment pyramid + plane segmentation, the reference's
+        load/undistort/stitch/cloud/getPlanes sequence,
+        `Frame360.h:231-615`).  `build_full` jits it directly; the
+        tracker's fused tracking dispatch embeds it ahead of the PbMap
+        register + dense solve (one composition, two consumers — they
+        cannot drift)."""
+        if not hasattr(self, "_frontend_fn"):
             from rgbd360_tpu.ops import stitch as _st
             from rgbd360_tpu.registration import dense as _D
 
@@ -369,7 +371,17 @@ class FrameBuilder:
                 )
                 return sphere, pyr, planes
 
-            self._build_full = jax.jit(impl)
+            self._frontend_fn = impl
+        return self._frontend_fn
+
+    def build_full(self, frame: RigFrame):
+        """Fused frame build + alignment pyramid + plane segmentation in ONE
+        jitted program — one device dispatch covers the whole per-frame
+        SLAM-frontend state.  On a remote-attached chip each dispatch costs
+        a tunnel round trip, so the 3-dispatch make_state (build, pyramid,
+        segment) paid ~3x the fixed latency."""
+        if not hasattr(self, "_build_full"):
+            self._build_full = jax.jit(self.frontend_impl())
         return self._build_full(self._params, frame.rgb, frame.depth)
 
     # ------------------------------------------------------------- planes

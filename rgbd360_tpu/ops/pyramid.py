@@ -197,17 +197,3 @@ def mask_seams(grad: jnp.ndarray, num_sensors: int = 8, half_width: int = 1) -> 
         seam = s * span
         mask = mask & ~((col >= seam - half_width) & (col < seam + half_width))
     return grad * mask[None, :]
-
-
-def mask_seams_batch(
-    grad: jnp.ndarray, num_sensors: int = 8, half_width: int = 1
-) -> jnp.ndarray:
-    """`mask_seams` for (B, H, W) batches (mask broadcasts over the batch)."""
-    w = grad.shape[-1]
-    span = w // num_sensors
-    col = jnp.arange(w)
-    mask = jnp.ones((w,), dtype=bool)
-    for s in range(1, num_sensors):
-        seam = s * span
-        mask = mask & ~((col >= seam - half_width) & (col < seam + half_width))
-    return grad * mask[None, None, :]

@@ -186,10 +186,11 @@ def build_frame_pyramid_batch(
         m = seam_valid[0].astype(gx.dtype)
         gx, gy, hx, hy = gx * m, gy * m, hx * m, hy * m
     else:
-        gx = pyr_ops.mask_seams_batch(gx, num_sensors, max(1, cfg.seam_mask_px // 2))
-        gy = pyr_ops.mask_seams_batch(gy, num_sensors, max(1, cfg.seam_mask_px // 2))
-        hx = pyr_ops.mask_seams_batch(hx, num_sensors, max(1, cfg.seam_mask_px // 2))
-        hy = pyr_ops.mask_seams_batch(hy, num_sensors, max(1, cfg.seam_mask_px // 2))
+        # mask_seams' (1, W) mask broadcasts over the (B, H, W) batch
+        gx = pyr_ops.mask_seams(gx, num_sensors, max(1, cfg.seam_mask_px // 2))
+        gy = pyr_ops.mask_seams(gy, num_sensors, max(1, cfg.seam_mask_px // 2))
+        hx = pyr_ops.mask_seams(hx, num_sensors, max(1, cfg.seam_mask_px // 2))
+        hy = pyr_ops.mask_seams(hy, num_sensors, max(1, cfg.seam_mask_px // 2))
     return _dc.replace(
         pyr,
         gray_gx=(gx,) + tuple(pyr.gray_gx[1:]),
@@ -961,6 +962,8 @@ def batch_align_targets(aligner, src_pyr, trg_pyrs: list, seeds: list):
     import numpy as _np
 
     n = len(trg_pyrs)
+    if n == 0:
+        raise ValueError("batch_align_targets needs at least one target")
     cap = 1
     while cap < n:
         cap *= 2

@@ -132,21 +132,13 @@ class TrackerBase:
         result fetch (the reference's per-frame loop spans the same
         stages, `SLAM/KFsphere_SLAM.cpp:293-396`)."""
         if not hasattr(self, "_fused_track"):
-            builder = self.builder
-            dense_cfg = self.config.dense
-            seam = stitch_ops.seam_mask_from_maps(builder.maps, 1)
-            seam_levels = D.seam_masks_per_level(seam, dense_cfg.pyramid_levels)
+            # the frontend composition is SHARED with FrameBuilder.build_full
+            # (one definition, two consumers); the config-equality guard in
+            # process() ensures the builder's dense config is this tracker's
+            frontend = self.builder.frontend_impl()
 
             def impl(params, rgb, depth_raw, kf_planes, kf_pyr, seed):
-                sphere = builder._build_impl(params, rgb, depth_raw)
-                pyr = D.build_frame_pyramid(
-                    sphere.sphere_gray, sphere.sphere_depth, dense_cfg,
-                    seam_levels,
-                )
-                planes = builder._segment_impl(
-                    params["rt"], sphere.local_xyz, sphere.cloud_rgb,
-                    sphere.cloud_valid,
-                )
+                sphere, pyr, planes = frontend(params, rgb, depth_raw)
                 pb = self.plane_reg._run_impl(kf_planes, planes, mode=PLANAR_3DOF)
                 res = self.aligner._align_impl(pyr, kf_pyr, seed, D.PHOTO_DEPTH)
                 return sphere, pyr, planes, pb, res

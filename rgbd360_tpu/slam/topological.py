@@ -143,16 +143,27 @@ def _rep_scores(sso, area, n_kf):
     return jnp.sum(jnp.where(same, s, 0.0), axis=1), area
 
 
+# Static bound on distinct areas inside the device kernels: keeps the
+# (A, A) adjacency and (A, N) membership temporaries O(64 * ...) instead of
+# O(capacity^2) as the keyframe capacity auto-grows (MapConfig.max_areas is
+# 64; the spectral partitioner produces tens of areas in practice).  Area
+# ids at or beyond the cap alias into the last slot — an over-PERMISSIVE
+# degradation (aliased areas gate as one), never a wrong exclusion.
+MAX_AREAS_DEVICE = 64
+
+
 def area_adjacency_device(area, edges_ij, emask, max_areas: int):
     """(A, A) bool area adjacency (incl. self) computed ON DEVICE from the
     live edge list — the device-side form of `neighbor_areas` used by the
     per-keyframe candidate gates so no O(capacity) arrays cross the host
-    link per keyframe event."""
+    link per keyframe event.  `max_areas` is clamped to MAX_AREAS_DEVICE."""
+    cap = min(max_areas, MAX_AREAS_DEVICE)
+    area = jnp.minimum(area, cap - 1)
     ev = emask & (edges_ij[:, 0] >= 0)
     ai = jnp.where(ev, area[jnp.clip(edges_ij[:, 0], 0, None)], 0)
     aj = jnp.where(ev, area[jnp.clip(edges_ij[:, 1], 0, None)], 0)
-    d = jnp.arange(max_areas)
-    neigh = jnp.zeros((max_areas, max_areas), bool).at[d, d].set(True)
+    d = jnp.arange(cap)
+    neigh = jnp.zeros((cap, cap), bool).at[d, d].set(True)
     neigh = neigh.at[ai, aj].max(ev)
     return neigh.at[aj, ai].max(ev)
 
@@ -160,14 +171,16 @@ def area_adjacency_device(area, edges_ij, emask, max_areas: int):
 def representative_mask_device(sso, area, n_kf):
     """(N,) bool — is keyframe its area's representative (device-side form
     of `representative_keyframes`: per-area argmax of the same-area SSO row
-    sum)."""
+    sum).  Membership is built at the MAX_AREAS_DEVICE-bounded area cap."""
     n = area.shape[0]
+    cap = min(n, MAX_AREAS_DEVICE)
+    area = jnp.minimum(area, cap - 1)
     idx = jnp.arange(n)
     live = idx < n_kf
     s = jnp.maximum(sso, sso.T)
     same = (area[:, None] == area[None, :]) & live[None, :] & live[:, None]
     scores = jnp.sum(jnp.where(same, s, 0.0), axis=1)
-    member = (area[None, :] == idx[:, None]) & live[None, :]  # (A=n, N)
+    member = (area[None, :] == jnp.arange(cap)[:, None]) & live[None, :]
     area_scores = jnp.where(member, scores[None, :], -1.0)
     reps = jnp.argmax(area_scores, axis=1)
     has_members = jnp.any(member, axis=1)

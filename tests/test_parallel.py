@@ -238,12 +238,21 @@ def test_keyframe_slam_sharded_matches_single(mesh, calibration, sample_paths):
     )
 
 
-def test_checked_shard_maps_trace_with_vma():
+def test_checked_shard_maps_trace_with_vma(mesh):
     """The varying-manual-axes static check must stay ON for every sharded
     program except the two documented linalg-bearing exemptions (the plane
-    scan's SVD pose solve and the PCG step's while_loop/inv carries)."""
+    scan's SVD pose solve and the PCG step's while_loop/inv carries) — and
+    the checked programs must actually TRACE with the check enabled (CPU
+    lowering here; the TPU-specific svd lowering is covered by the on-chip
+    run recorded in parallel/sharded.py's comment)."""
     import jax
+    import jax.numpy as jnp
+
+    from rgbd360_tpu.config import DenseRegConfig
+    from rgbd360_tpu.ops import se3
     from rgbd360_tpu.parallel import sharded as S
+    from rgbd360_tpu.registration import dense as D
+    from rgbd360_tpu.slam.graph import PoseGraph
 
     assert S._shard_map is jax.shard_map
     assert S._shard_map_linalg.keywords == {"check_vma": False}
@@ -251,6 +260,42 @@ def test_checked_shard_maps_trace_with_vma():
     import inspect
 
     src = inspect.getsource(S)
-    assert src.count("_shard_map_linalg(") == 2 + src.count(
-        "partial(shard_map, check_vma=False)"
-    ) - 1  # 2 call sites + the definition line
+    assert src.count("_shard_map_linalg(") == 2
+
+    # trace the CHECKED programs on the mesh (tiny shapes): a future edit
+    # adding linalg/while_loop carries to their bodies fails here, in the
+    # fast suite, instead of only in the slow equivalence tests
+    cfg = DenseRegConfig(pyramid_levels=1)
+    b, h, w = 8, 8, 128
+    g = jnp.broadcast_to(jnp.linspace(0, 1, h * w).reshape(h, w), (b, h, w))
+    d = jnp.full((b, h, w), 3.0)
+    tpyr = D.build_frame_pyramid(g[0], d[0], cfg)
+    tpack = D._pack_target(
+        dict(gray=tpyr.gray[0], depth=tpyr.depth[0], gray_gx=tpyr.gray_gx[0],
+             gray_gy=tpyr.gray_gy[0], depth_gx=tpyr.depth_gx[0],
+             depth_gy=tpyr.depth_gy[0])
+    )
+    trg = jnp.broadcast_to(tpack, (b,) + tpack.shape)
+    poses = jnp.broadcast_to(jnp.eye(4), (b, 4, 4))
+    out = S.sharded_pair_align(mesh, g, d, trg, poses, cfg, D.PHOTO_DEPTH)
+    assert out[0].shape == (b, 6, 6)
+
+    n_v = 8
+    graph = PoseGraph.empty(n_v, 8)
+    rels = jax.vmap(lambda i: se3.se3_exp(jnp.array([0.1, 0, 0, 0, 0.05, 0])))(
+        jnp.arange(n_v - 1)
+    )
+    graph = PoseGraph(
+        poses=graph.poses,
+        vmask=jnp.ones((n_v,), bool),
+        edges_ij=graph.edges_ij.at[: n_v - 1].set(
+            jnp.stack(
+                [jnp.arange(n_v - 1), jnp.arange(1, n_v)], 1
+            ).astype(jnp.int32)
+        ),
+        rel=graph.rel.at[: n_v - 1].set(rels),
+        info=graph.info,
+        emask=graph.emask.at[: n_v - 1].set(True),
+    )
+    opt, chi2, _ = S.distributed_pose_graph(mesh, graph, max_iters=2)
+    assert np.isfinite(np.asarray(opt)).all()
