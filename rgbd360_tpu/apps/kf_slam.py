@@ -111,6 +111,11 @@ def main(argv=None):
                    "level instead of dense sweeps (the reference's "
                    "bUseSalientPixels; 16384 doubles frontend throughput at "
                    "~3.5 mm pose difference on the samples)")
+    p.add_argument("--lc-salient", type=int, default=0, metavar="K",
+                   help="thin the loop-closure VERIFY sweeps to K salient "
+                   "pixels (+2 mandatory dense polish iterations; measured "
+                   "to reproduce full-sweep accept/reject decisions within "
+                   "4%% — LoopClosureConfig.verify_salient_pixels)")
     add_calib_args(p)
     args = p.parse_args(argv)
 
@@ -133,6 +138,13 @@ def main(argv=None):
             config,
             dense=dataclasses.replace(
                 config.dense, salient_pixels=args.salient, polish_iters=2
+            ),
+        )
+    if args.lc_salient:
+        config = dataclasses.replace(
+            config,
+            lc=dataclasses.replace(
+                config.lc, verify_salient_pixels=args.lc_salient
             ),
         )
     builder = FrameBuilder(calib, config)
