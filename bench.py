@@ -162,6 +162,97 @@ def _segmentation_floor_ms(s, h, w, cc_iters):
     return bytes_ / (HBM_GBPS * 1e9) * 1e3
 
 
+# ---- sequential-chain latency floors (round-4 honest-floor methodology) ----
+#
+# Several stages (segmentation's CC doubling chain, the PCG inner loop, the
+# pyramid's per-level chain) are bound by SEQUENTIAL KERNEL-STEP LATENCY,
+# not HBM bytes or MXU flops — an arithmetic roofline under-states their
+# floor by 10-100x and makes `achieved_fraction` meaningless (round-3
+# review).  The defensible floor is MEASURED: run the SAME loop body at
+# negligible arithmetic size (tiny tensors, identical sequential structure)
+# — what remains is pure chain latency, a hard lower bound for the
+# full-size stage.  Each latency-bound stage's bound becomes
+# max(arithmetic floor, tiny-size measured chain floor).
+
+
+def _tiny_chain_floors(builder, cfg):
+    """Measured sequential-chain latency floors (ms) for the latency-bound
+    stages: {'seg', 'pyr', 'pcg_per_lm_iter', 'dense_lm_per_iter'}."""
+    from dataclasses import replace as _replace
+
+    from rgbd360_tpu.slam.graph import (
+        PoseGraph,
+        optimize_pose_graph,
+        optimize_pose_graph_pcg,
+    )
+    from rgbd360_tpu.registration import dense as D
+    from rgbd360_tpu.ops import se3
+
+    floors = {}
+
+    # segmentation: same kernels + cc_iters chain on an 8x(8x24) cloud
+    rt_p = builder._params["rt"]
+    s = rt_p.shape[0]
+    tiny_xyz = jnp.zeros((s, 8, 24, 3), jnp.float32).at[..., 2].set(2.0)
+    tiny_rgb = jnp.zeros((s, 8, 24, 3), jnp.float32)
+    tiny_ok = jnp.ones((s, 8, 24), bool)
+
+    def seg_step(carry):
+        ps = builder._segment_impl(rt_p, carry, tiny_rgb, tiny_ok)
+        return carry + ps.area[0] * 0
+
+    floors["seg"] = _scan_time_ms(
+        seg_step, tiny_xyz, 32, lambda o: np.asarray(o)
+    )
+
+    # pyramid: same per-level chain on a 64x384 sphere (1/25th the pixels)
+    tiny_g = jnp.zeros((64, 384), jnp.float32)
+    tiny_d = jnp.ones((64, 384), jnp.float32)
+
+    def pyr_step(carry):
+        pyr = D.build_frame_pyramid(carry, tiny_d, cfg)
+        return carry + pyr.gray[-1][0, 0] * 0
+
+    floors["pyr"] = _scan_time_ms(pyr_step, tiny_g, 32, lambda o: np.asarray(o))
+
+    # pose-graph solvers: ONE LM iteration on an 8-KF ring (the inner CG
+    # runs its full 100 iterations — cg_tol=0 — so the chain is identical
+    # to the full-size stage's; only the tensor sizes shrink)
+    n8 = 8
+    g8 = PoseGraph.empty(n8, n8)
+    rels = jax.vmap(
+        lambda i: se3.se3_exp(jnp.array([0.1, 0, 0, 0, 0.05, 0]))
+    )(jnp.arange(n8 - 1))
+    g8 = PoseGraph(
+        poses=g8.poses,
+        vmask=jnp.ones((n8,), bool),
+        edges_ij=g8.edges_ij.at[: n8 - 1].set(
+            jnp.stack([jnp.arange(n8 - 1), jnp.arange(1, n8)], 1).astype(
+                jnp.int32
+            )
+        ),
+        rel=g8.rel.at[: n8 - 1].set(rels),
+        info=g8.info,
+        emask=g8.emask.at[: n8 - 1].set(True),
+    )
+
+    def mk_step(opt, **kw):
+        def step(poses):
+            p2, chi2, _ = opt(_replace(g8, poses=poses), max_iters=1, **kw)
+            return p2 + chi2 * 0
+
+        return step
+
+    floors["pcg_per_lm_iter"] = _scan_time_ms(
+        mk_step(optimize_pose_graph_pcg, cg_tol=0.0), g8.poses, 8,
+        lambda o: np.asarray(o),
+    )
+    floors["dense_lm_per_iter"] = _scan_time_ms(
+        mk_step(optimize_pose_graph), g8.poses, 8, lambda o: np.asarray(o)
+    )
+    return floors
+
+
 def _bench_stages(builder, raw1, raw2, cfg, aligner, trg_pyr, seam_valid):
     """Per-stage table (the BASELINE.md measured rows, as JSON)."""
     from rgbd360_tpu.registration import dense as D
@@ -172,6 +263,7 @@ def _bench_stages(builder, raw1, raw2, cfg, aligner, trg_pyr, seam_valid):
     depth = jnp.stack([jnp.asarray(r.depth_mm) for r in (raw1, raw2)])
     sph_cfg = builder.config.sphere
     sphere_rows = sph_cfg.height * sph_cfg.width
+    chain = _tiny_chain_floors(builder, cfg)
 
     # ---- frame build (undistort + stitch + gray): alternate the two real
     # captures; the carry picks which input feeds the next iteration
@@ -205,18 +297,22 @@ def _bench_stages(builder, raw1, raw2, cfg, aligner, trg_pyr, seam_valid):
         return carry + pyr.gray[-1][0, 0] * 0
 
     pyr_ms = _scan_time_ms(pyr_step, f1.sphere_gray, 32, lambda o: np.asarray(o))
-    pyr_floor = _pyramid_floor_ms(sph_cfg.height, sph_cfg.width, cfg.pyramid_levels)
+    pyr_floor = max(
+        _pyramid_floor_ms(sph_cfg.height, sph_cfg.width, cfg.pyramid_levels),
+        chain["pyr"],
+    )
     stages["pyramid_build"] = {
         "value": round(pyr_ms, 3),
         "unit": "ms/frame",
         "attribution": (
             "banded-matmul pyrDown + 0/1-matmul depth block sums (MXU, zero "
-            "gathers); the gap to the arithmetic floor is per-kernel "
-            "overhead on the small upper levels"
+            "gathers); bound by the per-level sequential kernel chain — "
+            f"floor = the SAME chain measured at 1/25th size "
+            f"({chain['pyr']:.2f} ms, pure chain latency)"
         ),
         "bound": _bound(
-            "MXU flops / HBM bytes", pyr_floor, pyr_ms,
-            f"{MXU_F32_TFLOPS} TF f32-HIGHEST, {HBM_GBPS} GB/s",
+            "sequential chain latency", pyr_floor, pyr_ms,
+            f"max(arith floor, tiny-size chain {chain['pyr']:.2f} ms)",
         ),
     }
 
@@ -237,19 +333,25 @@ def _bench_stages(builder, raw1, raw2, cfg, aligner, trg_pyr, seam_valid):
         seg_step, sph1.local_xyz, 32, lambda o: np.asarray(o)
     )
     s_, hc, wc = sph1.cloud_valid.shape
-    seg_floor = _segmentation_floor_ms(s_, hc, wc, builder.config.seg.cc_iters)
-    seg_bound_desc = f"{HBM_GBPS} GB/s HBM"
+    seg_hbm = _segmentation_floor_ms(s_, hc, wc, builder.config.seg.cc_iters)
+    seg_floor = max(seg_hbm, chain["seg"])
+    seg_bound_desc = (
+        f"max(HBM {seg_hbm:.2f} ms, measured tiny-size chain "
+        f"{chain['seg']:.2f} ms)"
+    )
     stages["segmentation"] = {
         "value": round(seg_ms, 3),
         "unit": "ms/frame",
         "attribution": (
             "banded-matmul normal blur (round 3: was a 2.5 ms cumsum scan "
-            "chain) + Hillis-Steele min-scan CC labeling (~1.3 ms latency "
-            "floor of its sequential doubling steps; a Pallas-fused form "
-            "measured at parity) + one-hot MXU moment matmuls; "
-            "docs/PERFORMANCE.md round 3"
+            "chain) + Hillis-Steele min-scan CC labeling + one-hot MXU "
+            "moment matmuls; bound by the CC doubling chain's sequential "
+            "steps — floor = the SAME kernel chain measured on an 8x24 "
+            "cloud (pure chain latency; docs/PERFORMANCE.md round 4)"
         ),
-        "bound": _bound("HBM bytes", seg_floor, seg_ms, seg_bound_desc),
+        "bound": _bound(
+            "sequential chain latency", seg_floor, seg_ms, seg_bound_desc
+        ),
     }
 
     # ---- plane segmentation batched over 4 frames (the B=4 pipeline's
@@ -273,10 +375,14 @@ def _bench_stages(builder, raw1, raw2, cfg, aligner, trg_pyr, seam_valid):
             "segment_planes vmapped over a 4-frame batch — measured NO "
             "amortization vs B=1: the stage is bound by sequential "
             "latency-floor chains (CC doubling steps), which a batch axis "
-            "widens but does not shorten; the round-3 win came from the "
-            "banded-matmul normal blur instead (docs/PERFORMANCE.md)"
+            "widens but does not shorten; the ideal floor divides the "
+            "chain by 4 (one chain serves the batch), naming the real "
+            "remaining headroom"
         ),
-        "bound": _bound("HBM bytes", seg_floor, seg4_ms, seg_bound_desc),
+        "bound": _bound(
+            "sequential chain latency",
+            max(seg_hbm, chain["seg"] / BATCH), seg4_ms, seg_bound_desc,
+        ),
     }
 
     # ---- COMPLETE frontend, batch-4: full build (incl. clouds), batched
@@ -309,19 +415,24 @@ def _bench_stages(builder, raw1, raw2, cfg, aligner, trg_pyr, seam_valid):
         frontend_step, jnp.float32(0), 8, lambda o: np.asarray(o)
     ) / BATCH
     fe_floor = (
-        sphere_rows / BATCH + sphere_rows / 4
-    ) * GATHER_MS_PER_ROW + seg_floor
+        (sphere_rows / BATCH + sphere_rows / 4) * GATHER_MS_PER_ROW
+        + max(seg_hbm, chain["seg"] / BATCH)
+        + chain["pyr"] / BATCH
+    )
     stages["frontend_batch4"] = {
         "value": round(1000.0 / fe_ms, 3),
         "unit": "frames/sec/chip (build+segment+pyramid+align)",
         "attribution": (
             "the COMPLETE per-frame SLAM frontend batched by 4: full build "
             "with clouds, vmapped 8-sensor segmentation, pyramids, "
-            "16k-salient dense align — nothing excluded"
+            "16k-salient dense align — nothing excluded; floor = stitch "
+            "gather /4 + align gather rows + segmentation chain/HBM + "
+            "pyramid chain /4 (the composite's gap IS the sequential "
+            "chains, itemized in docs/PERFORMANCE.md round 4)"
         ),
         "bound": _bound(
-            "gather-row latency + HBM", fe_floor, fe_ms,
-            "stitch gather amortized /4 + align rows + segmentation bytes",
+            "gather latency + sequential chains", fe_floor, fe_ms,
+            "stitch/4 + align rows + max(seg HBM, seg chain/4) + pyr chain/4",
         ),
     }
 
@@ -408,17 +519,25 @@ def _bench_stages(builder, raw1, raw2, cfg, aligner, trg_pyr, seam_valid):
         emask=jnp.asarray(emask),
     )
 
-    # dense LM roofline: the (6N)^3/3 LU solve per iteration on the MXU
-    lm_floor_ms = ((6 * n_v) ** 3 / 3) / (MXU_F32_TFLOPS * 1e12) * 1e3
-    # PCG roofline: ~100 inner CG matvecs x edge sweep bytes per LM iter
-    pcg_floor_ms = (
-        100 * n_e * (36 + 12) * 4 * 2 / (HBM_GBPS * 1e9) * 1e3
+    # per-LM-iteration floors: max(arithmetic roofline, the SAME solver's
+    # measured per-iteration latency on an 8-KF graph — the sequential
+    # chain every iteration pays regardless of size: 100 CG steps for the
+    # PCG, the blocked-LU panel chain for the dense LM)
+    lm_floor_ms = max(
+        ((6 * n_v) ** 3 / 3) / (MXU_F32_TFLOPS * 1e12) * 1e3,
+        chain["dense_lm_per_iter"],
+    )
+    pcg_floor_ms = max(
+        100 * n_e * (36 + 12) * 4 * 2 / (HBM_GBPS * 1e9) * 1e3,
+        chain["pcg_per_lm_iter"],
     )
     for name, fn, iters_n, floor_ms, desc in (
         ("ba_dense_lm", optimize_pose_graph, 10, lm_floor_ms,
-         "MXU f32 LU of the (6N)^2 system"),
+         f"max(MXU LU flops, tiny-graph chain "
+         f"{chain['dense_lm_per_iter']:.2f} ms/iter)"),
         ("ba_pcg", optimize_pose_graph_pcg, 10, pcg_floor_ms,
-         "HBM bytes of ~100 CG edge sweeps/iter"),
+         f"max(HBM edge-sweep bytes, tiny-graph 100-step CG chain "
+         f"{chain['pcg_per_lm_iter']:.2f} ms/iter)"),
     ):
         out = fn(graph, iters_n)  # compile + warm
         jax.block_until_ready(out[0])
@@ -438,7 +557,9 @@ def _bench_stages(builder, raw1, raw2, cfg, aligner, trg_pyr, seam_valid):
                 "edge sweeps"
             ),
             "bound": _bound(
-                "MXU flops" if name == "ba_dense_lm" else "HBM bytes",
+                "MXU flops / chain latency"
+                if name == "ba_dense_lm"
+                else "CG chain latency",
                 floor_ms, 1000.0 / rate, desc,
             ),
         }
@@ -488,6 +609,7 @@ def _bench_slam_frontend(builder, stages):
     # compiled programs — the timed lap measures execution, not XLA.
     for raw in dev:
         slam.process(raw)
+    slam.flush()
     slam.reset()
 
     # measured empty dispatch+fetch round trip (the tunnel constant)
@@ -507,6 +629,9 @@ def _bench_slam_frontend(builder, stages):
         events.append(slam.process(raw))
         times.append(time.time() - f0)
     wall = time.time() - t0
+    t_flush = time.time()
+    slam.flush()  # apply any still-deferred keyframe-event work
+    flush_ms = (time.time() - t_flush) * 1000.0
     raw_ms = wall / n * 1000.0
     fused = slam.timer.counts.get("fused_track", 0)
     n_kf = int(slam.map.n_kf)
@@ -516,6 +641,13 @@ def _bench_slam_frontend(builder, stages):
     kf_ms = [t * 1e3 for t, e in zip(times, events) if e.get("keyframe")]
     med_tr = float(np.median(tr_ms)) if tr_ms else 0.0
     med_kf = float(np.median(kf_ms)) if kf_ms else 0.0
+    # frame-to-frame GAP with keyframe events overlapped (the async event
+    # pipeline): p99 over ALL frames — the reference's background LC thread
+    # keeps this near the tracked-frame time, and so must the deferred
+    # pipeline (round-4 target: p99 within ~2x the median tracked frame)
+    p99_gap = float(np.percentile(np.asarray(times) * 1e3, 99))
+    kf_nd = slam.kf_event_dispatches
+    med_nd = float(np.median(kf_nd)) if kf_nd else 0.0
     # common-case tracked frame = ONE fused dispatch + ONE fetch = 1 round
     # trip + the 2.3 MB capture upload; both are harness-link artifacts
     corrected_ms = max(med_tr - tunnel_ms, 0.05)
@@ -527,20 +659,24 @@ def _bench_slam_frontend(builder, stages):
             f"after a full warmup lap (programs compiled, session reset), "
             f"{fused}/{n} on the fused single-dispatch path (1 dispatch + "
             f"1 fetch per tracked frame), {n_kf} keyframes; median tracked "
-            f"frame {med_tr:.1f} ms, median keyframe event {med_kf:.1f} ms "
-            f"(KF events span tens of dispatches: connection aligns, LC "
-            f"verify, optimize, partition); the {tunnel_ms:.1f} ms harness "
-            f"tunnel round trip rides every dispatch — tracked-frame rate "
-            f"net of it: {1000.0 / corrected_ms:.1f} fps ({corrected_ms:.1f}"
-            f" ms on-chip+host); capture upload measured separately at "
+            f"frame {med_tr:.1f} ms, median keyframe FRAME {med_kf:.1f} ms "
+            f"with the event work deferred (async pipeline: median "
+            f"{med_nd:.0f} dispatches/KF event drain over later frames; "
+            f"end-of-run flush {flush_ms:.0f} ms); p99 frame gap "
+            f"{p99_gap:.1f} ms; the {tunnel_ms:.1f} ms harness tunnel round "
+            f"trip rides every dispatch — tracked-frame rate net of it: "
+            f"{1000.0 / corrected_ms:.1f} fps ({corrected_ms:.1f} ms "
+            f"on-chip+host); capture upload measured separately at "
             f"{upload_ms:.1f} ms/frame over the tunnel (PCIe-negligible in "
             f"deployment, prefetched either way)"
         ),
         "dispatches_per_tracked_frame": 1,
+        "dispatches_per_kf_event": round(med_nd, 1),
         "tunnel_roundtrip_ms": round(tunnel_ms, 2),
         "upload_ms_per_frame": round(upload_ms, 2),
         "median_tracked_ms": round(med_tr, 2),
         "median_keyframe_ms": round(med_kf, 2),
+        "p99_gap_ms": round(p99_gap, 2),
         "tracked_fps_net_of_tunnel": round(1000.0 / corrected_ms, 2),
     }
     return stages

@@ -15,6 +15,8 @@ from rgbd360_tpu.apps._common import add_calib_args, load_calib, save_trajectory
 
 
 def export_map(slam, outdir: Path, voxel: float = 0.05):
+    if hasattr(slam, "flush"):
+        slam.flush()  # apply any deferred keyframe-event work first
     """Write the map viewer's four view modes as files (reference
     `Map360_Visualizer` modes, `include/Map360_Visualizer.h:63-68`):
 
@@ -161,6 +163,8 @@ def main(argv=None):
             f"lc={ev.get('loop_closures', 0)} t={np.round(pose[:3, 3], 3).tolist()}"
         )
 
+    if hasattr(slam, "flush"):
+        slam.flush()  # apply any deferred keyframe-event work
     n_kf = int(slam.map.n_kf)
     print(
         f"done: {n_kf} keyframes, {int(slam.map.n_edges)} edges, "

@@ -273,6 +273,16 @@ class KeyframeConfig:
     # enough to warrant the next seed in the fallback chain (bad PbMap seeds
     # land in high-error local minima; well-seeded solves sit well below).
     fallback_error: float = 3.0
+    # Overlap keyframe-event map work (connection aligns, loop-closure
+    # scan/verify, pose-graph optimization, partitioning) with subsequent
+    # tracked frames — the reference's background loop-closure thread
+    # (`include/LoopClosure360.h:93,108`; `SLAM/SphereGraphSLAM.cpp:251-271`
+    # drains its edges opportunistically), redesigned on JAX async dispatch:
+    # event programs are dispatched un-fetched and drained phase-by-phase on
+    # later frames, so tracking never blocks on the event's host logic or
+    # tunnel round trips.  False = run the whole event synchronously inside
+    # the keyframe frame (bit-identical map, simpler timing).
+    async_kf_events: bool = True
 
 
 @dataclass(frozen=True)

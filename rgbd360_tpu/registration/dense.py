@@ -958,7 +958,19 @@ def batch_align_targets(aligner, src_pyr, trg_pyrs: list, seeds: list):
     power-of-two size serves every event (padding entries are computed and
     discarded — one wider dispatch still beats per-candidate round trips).
     Returns the FETCHED result pytree with a leading axis of
-    len(trg_pyrs)."""
+    len(trg_pyrs); `batch_align_targets_dispatch` is the un-fetched half
+    for callers overlapping the solve with other work (the deferred
+    keyframe event)."""
+    res = jax.device_get(
+        batch_align_targets_dispatch(aligner, src_pyr, trg_pyrs, seeds)
+    )
+    return jax.tree_util.tree_map(lambda a: a[: len(trg_pyrs)], res)
+
+
+def batch_align_targets_dispatch(aligner, src_pyr, trg_pyrs: list, seeds: list):
+    """Dispatch-only half of `batch_align_targets`: returns the DEVICE
+    result pytree, padded to the compiled power-of-two batch — slice
+    `[:len(trg_pyrs)]` after fetching."""
     import numpy as _np
 
     n = len(trg_pyrs)
@@ -986,7 +998,4 @@ def batch_align_targets(aligner, src_pyr, trg_pyrs: list, seeds: list):
             )(stacked, sds)
 
         caches[cap] = jax.jit(impl)
-    res = jax.device_get(
-        caches[cap](src_pyr, jnp.asarray(_np.stack(seeds)), *trg_pyrs)
-    )
-    return jax.tree_util.tree_map(lambda a: a[:n], res)
+    return caches[cap](src_pyr, jnp.asarray(_np.stack(seeds)), *trg_pyrs)

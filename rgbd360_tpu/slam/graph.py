@@ -256,31 +256,52 @@ def _block_diag(m_e, i, j, n, prior, lm_diag):
 
 
 def _pcg(matvec, precond, b, iters, tol):
-    """Standard preconditioned CG on H x = b (H SPD)."""
+    """Pipelined (Chronopoulos–Gear) preconditioned CG on H x = b (H SPD).
+
+    Mathematically identical to textbook PCG in exact arithmetic, but
+    restructured for sequential-depth, the binding resource of this loop on
+    TPU (each CG step is a chain of small kernels; arithmetic is trivial at
+    pose-graph sizes — docs/PERFORMANCE.md round 4):
+
+      * ONE synchronization per iteration: both scalars the update needs —
+        gamma=(r,u) and delta=(w,u) — come out of a single fused reduction
+        over a stacked (2,N,6) tensor, where standard PCG serializes
+        (p,Hp) -> update r -> precond -> (r,z) as two dependent barriers.
+      * the convergence test reuses gamma (the M-norm of r) instead of
+        spending an extra (r,r) reduction in the loop condition.
+    """
     x = jnp.zeros_like(b)
     r = b
-    z = precond(r)
-    p = z
-    rz = jnp.sum(r * z)
-    b2 = jnp.sum(b * b)
+    u = precond(r)
+    w = matvec(u)
+    gd = jnp.sum(jnp.stack([r, w]) * u[None], axis=(1, 2))
+    gamma, delta = gd[0], gd[1]
+    alpha = gamma / jnp.maximum(delta, 1e-30)
+    g0 = gamma
 
     def body(carry):
-        x, r, p, rz, it = carry
-        hp = matvec(p)
-        alpha = rz / jnp.maximum(jnp.sum(p * hp), 1e-30)
+        x, r, u, w, p, s, gamma, alpha, it = carry
         x = x + alpha * p
-        r = r - alpha * hp
-        z = precond(r)
-        rz_new = jnp.sum(r * z)
-        beta = rz_new / jnp.maximum(rz, 1e-30)
-        p = z + beta * p
-        return x, r, p, rz_new, it + 1
+        r = r - alpha * s
+        u_new = precond(r)
+        w_new = matvec(u_new)
+        gd = jnp.sum(jnp.stack([r, w_new]) * u_new[None], axis=(1, 2))
+        gamma_new, delta = gd[0], gd[1]
+        beta = gamma_new / jnp.maximum(gamma, 1e-30)
+        alpha_new = gamma_new / jnp.maximum(
+            delta - beta * gamma_new / jnp.maximum(alpha, 1e-30), 1e-30
+        )
+        p = u_new + beta * p
+        s = w_new + beta * s
+        return x, r, u_new, w_new, p, s, gamma_new, alpha_new, it + 1
 
     def cond(carry):
-        _, r, _, _, it = carry
-        return (it < iters) & (jnp.sum(r * r) > tol * tol * b2)
+        _, _, _, _, _, _, gamma, _, it = carry
+        return (it < iters) & (gamma > tol * tol * jnp.maximum(g0, 1e-30))
 
-    x, _, _, _, n_it = jax.lax.while_loop(cond, body, (x, r, p, rz, 0))
+    x, _, _, _, _, _, _, _, n_it = jax.lax.while_loop(
+        cond, body, (x, r, u, w, u, w, gamma, alpha, 0)
+    )
     return x, n_it
 
 

@@ -204,6 +204,133 @@ class LoopCloser:
             cache[k] = pyr
         return pyr
 
+    # ----------------------------------------------------- deferred halves
+    #
+    # The reference hides loop-closure latency behind tracking with a
+    # background thread (`include/LoopClosure360.h:93,108`).  The TPU-native
+    # equivalent exploits JAX's async dispatch instead: each stage below
+    # DISPATCHES device programs and returns their un-fetched result arrays,
+    # so the tracker can interleave tracked frames between stages and only
+    # fetch once the device (and the tunnel) has caught up.  `search` remains
+    # the synchronous composition of the same halves — one code path.
+
+    def scan_dispatch(
+        self,
+        map360,
+        query_planes: PlaneSet,
+        query_pose: jnp.ndarray,
+        query_kf: int,
+        exclude_recent: int = 2,
+        max_dense_checks: int | None = None,
+    ):
+        """Dispatch gate + batch plane match + top-k select; returns the
+        (top_idx, top_ok, top_pose) DEVICE arrays without fetching."""
+        lc_cfg = self.config.lc
+        if max_dense_checks is None:
+            max_dense_checks = lc_cfg.max_dense_checks
+        if self.mesh is None:
+            if not hasattr(self, "_scan_select"):
+                self._scan_select = jax.jit(
+                    self._scan_select_impl,
+                    static_argnames=("area_gating", "k"),
+                )
+            return self._scan_select(
+                query_planes,
+                map360.planes,
+                map360.opt_poses,
+                map360.n_kf,
+                map360.area,
+                map360.n_areas,
+                map360.sso,
+                map360.graph.edges_ij,
+                map360.graph.emask,
+                jnp.asarray(query_pose),
+                jnp.asarray(query_kf),
+                jnp.asarray(exclude_recent),
+                jnp.asarray(lc_cfg.search_radius),
+                jnp.asarray(lc_cfg.min_matches),
+                jnp.asarray(lc_cfg.min_area),
+                area_gating=bool(lc_cfg.area_gating),
+                k=max_dense_checks,
+            )
+        gate = candidate_gate(
+            map360, query_pose, query_kf, exclude_recent, lc_cfg
+        )
+        n_m, area, pose, info, obs = self._batch_match(
+            query_planes, map360.planes, gate
+        )
+        return _select_candidates(
+            n_m, area, obs, pose,
+            jnp.asarray(lc_cfg.min_matches),
+            jnp.asarray(lc_cfg.min_area),
+            k=max_dense_checks,
+        )
+
+    @staticmethod
+    def select_host(fetched) -> tuple[list[int], dict]:
+        """Host half of candidate selection: fetched (top_idx, top_ok,
+        top_pose) -> (candidate kf list, {kf: seed pose})."""
+        top_idx, top_ok, top_pose = fetched
+        cand = [int(i) for i, v in zip(top_idx, top_ok) if v]
+        cand_pose = {
+            int(i): p for i, v, p in zip(top_idx, top_ok, top_pose) if v
+        }
+        return cand, cand_pose
+
+    def verify_dispatch(self, map360, q_pyr, cand, cand_pose, pyr_cache=None):
+        """Dispatch the batched dense verification of all candidates; returns
+        (un-fetched result batch, candidate pyramids).  Seeds: the plane pose
+        maps x_kf = T x_query and align(query, kf) optimizes exactly that
+        T_kf<-query."""
+        cand_pyrs = [self.kf_pyramid(map360, int(k), pyr_cache) for k in cand]
+        res_b = D.batch_align_targets_dispatch(
+            self._aligner, q_pyr, cand_pyrs,
+            [cand_pose[int(k)] for k in cand],
+        )
+        return res_b, cand_pyrs
+
+    def gates_ok(self, res, ref_photo: float | None) -> bool:
+        """Acceptance gates on a FETCHED verify result (depth residual,
+        reference `LoopClosure360.h:311-316`; photometric gate beyond-ref)."""
+        lc_cfg = self.config.lc
+        photo_ok = (
+            lc_cfg.max_photo_ratio is None
+            or ref_photo is None
+            or float(res.av_photo_residual)
+            < max(lc_cfg.max_photo_ratio * ref_photo, lc_cfg.photo_gate_floor)
+        )
+        return (
+            float(res.av_depth_residual) < lc_cfg.max_depth_residual
+            and photo_ok
+            and not bool(res.ill_posed)
+        )
+
+    def rescue_coarse_dispatch(self, q_pyr, kf_pyr, seed_pose):
+        """Dispatch the yaw-alias heading rescue's coarse sweep (16 yaw
+        hypotheses left-composed on the plane seed, one vmapped program)."""
+        cands = se3.yaw_grid(16) @ np.asarray(seed_pose)[None]
+        return self._aligner.coarse_align(q_pyr, kf_pyr, jnp.asarray(cands))
+
+    def rescue_align_dispatch(self, q_pyr, kf_pyr, refined, errs):
+        """Dispatch the full verify from the best coarse rescue hypothesis
+        (inputs already fetched)."""
+        best = int(np.argmin(np.asarray(errs)))
+        return self._aligner.align(
+            q_pyr, kf_pyr, jnp.asarray(np.asarray(refined)[best]),
+            method=D.PHOTO_DEPTH,
+        )
+
+    @staticmethod
+    def accept(res, kf_from: int, query_kf: int) -> "LoopClosure":
+        return LoopClosure(
+            kf_from=int(kf_from),
+            kf_to=int(query_kf),
+            rel=np.asarray(res.pose),
+            info=np.asarray(res.hessian),
+            sso=float(res.sso),
+            depth_residual=float(res.av_depth_residual),
+        )
+
     def search(
         self,
         map360,
@@ -216,6 +343,7 @@ class LoopCloser:
         max_dense_checks: int | None = None,
         pyr_cache: dict | None = None,
         ref_photo: float | None = None,
+        q_pyr=None,
     ) -> list[LoopClosure]:
         """Find loop closures for a (new) keyframe.
 
@@ -236,10 +364,10 @@ class LoopCloser:
         rejected — geometry-only acceptance (the reference's
         `avDepthResidual < 2.0`) is blind to rotational aliasing in
         (near-)symmetric spaces, where a wrong-by-45-degrees pose fits the
-        depth perfectly but not the texture."""
-        lc_cfg = self.config.lc
-        if max_dense_checks is None:
-            max_dense_checks = lc_cfg.max_dense_checks
+        depth perfectly but not the texture.
+
+        `q_pyr`: the query's alignment pyramid when the caller already built
+        it (the tracker's fused frontend did) — skips a rebuild dispatch."""
         n_kf = int(map360.n_kf)
         if n_kf <= exclude_recent + 1:
             return []
@@ -249,111 +377,42 @@ class LoopCloser:
         # poses) cross the host link.  Single-device: gate + match + select
         # fuse into ONE dispatch; sharded: the KF-sharded scan stays its
         # own program between the gate and the select.
-        if self.mesh is None:
-            if not hasattr(self, "_scan_select"):
-                self._scan_select = jax.jit(
-                    self._scan_select_impl,
-                    static_argnames=("area_gating", "k"),
-                )
-            top_idx, top_ok, top_pose = jax.device_get(
-                self._scan_select(
-                    query_planes,
-                    map360.planes,
-                    map360.opt_poses,
-                    map360.n_kf,
-                    map360.area,
-                    map360.n_areas,
-                    map360.sso,
-                    map360.graph.edges_ij,
-                    map360.graph.emask,
-                    jnp.asarray(query_pose),
-                    jnp.asarray(query_kf),
-                    jnp.asarray(exclude_recent),
-                    jnp.asarray(lc_cfg.search_radius),
-                    jnp.asarray(lc_cfg.min_matches),
-                    jnp.asarray(lc_cfg.min_area),
-                    area_gating=bool(lc_cfg.area_gating),
-                    k=max_dense_checks,
+        cand, cand_pose = self.select_host(
+            jax.device_get(
+                self.scan_dispatch(
+                    map360, query_planes, query_pose, query_kf,
+                    exclude_recent, max_dense_checks,
                 )
             )
-        else:
-            gate = candidate_gate(
-                map360, query_pose, query_kf, exclude_recent, lc_cfg
-            )
-            n_m, area, pose, info, obs = self._batch_match(
-                query_planes, map360.planes, gate
-            )
-            top_idx, top_ok, top_pose = jax.device_get(
-                _select_candidates(
-                    n_m, area, obs, pose,
-                    jnp.asarray(lc_cfg.min_matches),
-                    jnp.asarray(lc_cfg.min_area),
-                    k=max_dense_checks,
-                )
-            )
-        cand = [int(i) for i, v in zip(top_idx, top_ok) if v]
+        )
         if not cand:
             return []
-        cand_pose = {
-            int(i): p for i, v, p in zip(top_idx, top_ok, top_pose) if v
-        }
 
         # dense verification (reference refines with alignFrames360 and gates
         # avDepthResidual < 2.0, LoopClosure360.h:311-316; here plus the
-        # photometric gate and a heading-rescue retry)
+        # photometric gate and a heading-rescue retry).  First pass verifies
+        # ALL surviving candidates in ONE vmapped dispatch.
         out: list[LoopClosure] = []
-        q_pyr = self._pyr(query_gray, query_depth)
-
-        def gates_ok(res) -> bool:
-            photo_ok = (
-                lc_cfg.max_photo_ratio is None
-                or ref_photo is None
-                or float(res.av_photo_residual)
-                < max(lc_cfg.max_photo_ratio * ref_photo, lc_cfg.photo_gate_floor)
-            )
-            return (
-                float(res.av_depth_residual) < lc_cfg.max_depth_residual
-                and photo_ok
-                and not bool(res.ill_posed)
-            )
-
-        # first-pass verification of ALL surviving candidates in ONE
-        # vmapped dispatch (was one dispatch + fetch per candidate); seeds:
-        # the plane pose maps x_kf = T x_query, and align(query, kf)
-        # optimizes exactly that T_kf<-query
-        cand_pyrs = [self.kf_pyramid(map360, int(k), pyr_cache) for k in cand]
-        res_b = D.batch_align_targets(
-            self._aligner, q_pyr, cand_pyrs,
-            [cand_pose[int(k)] for k in cand],
+        if q_pyr is None:
+            q_pyr = self._pyr(query_gray, query_depth)
+        res_b, cand_pyrs = self.verify_dispatch(
+            map360, q_pyr, cand, cand_pose, pyr_cache
         )
+        res_b = jax.device_get(res_b)
         for i, k in enumerate(cand):
             kf_pyr = cand_pyrs[i]
             res = jax.tree_util.tree_map(lambda a: a[i], res_b)
-            if not gates_ok(res):
+            if not self.gates_ok(res, ref_photo):
                 # heading rescue: the plane seed may be yaw-aliased —
                 # coarse-GN-refine left-composed yaw hypotheses in one
                 # vmapped batch and fully verify only the best
-                cands = se3.yaw_grid(16) @ np.asarray(cand_pose[int(k)])[None]
                 refined, errs = jax.device_get(
-                    self._aligner.coarse_align(q_pyr, kf_pyr, jnp.asarray(cands))
+                    self.rescue_coarse_dispatch(q_pyr, kf_pyr, cand_pose[int(k)])
                 )
-                best = int(np.argmin(np.asarray(errs)))
                 res = jax.device_get(
-                    self._aligner.align(
-                        q_pyr, kf_pyr, jnp.asarray(np.asarray(refined)[best]),
-                        method=D.PHOTO_DEPTH,
-                    )
+                    self.rescue_align_dispatch(q_pyr, kf_pyr, refined, errs)
                 )
-                if not gates_ok(res):
+                if not self.gates_ok(res, ref_photo):
                     continue
-            out.append(
-                LoopClosure(
-                    kf_from=int(k),
-                    kf_to=int(query_kf),
-                    rel=np.asarray(res.pose),
-                    info=np.asarray(res.hessian),
-                    sso=float(res.sso),
-                    depth_residual=float(res.av_depth_residual),
-                )
-            )
+            out.append(self.accept(res, int(k), query_kf))
         return out

@@ -29,6 +29,27 @@ from rgbd360_tpu.ops.segmentation import PlaneSet
 from rgbd360_tpu.slam.graph import PoseGraph
 
 
+@jax.jit
+def _add_edges_impl(
+    edges_ij, rel, info, emask, edge_is_lc, sso, n_edges,
+    new_ij, new_rel, new_info, new_sso, new_lc,
+):
+    """Scatter E new edges into the padded edge arrays in one program."""
+    idx = n_edges + jnp.arange(new_ij.shape[0])
+    i, j = new_ij[:, 0], new_ij[:, 1]
+    return (
+        (
+            edges_ij.at[idx].set(new_ij),
+            rel.at[idx].set(new_rel),
+            info.at[idx].set(new_info),
+            emask.at[idx].set(True),
+        ),
+        n_edges + new_ij.shape[0],
+        edge_is_lc.at[idx].set(new_lc),
+        sso.at[i, j].set(new_sso).at[j, i].set(new_sso),
+    )
+
+
 @jax.tree_util.register_dataclass
 @dataclass
 class Map360:
@@ -156,12 +177,17 @@ class Map360:
         depth: jnp.ndarray,
         planes: PlaneSet,
         area_id: jnp.ndarray | int = None,
+        n_live: int | None = None,
     ) -> "Map360":
         """Append a keyframe (reference `Map360::addKeyframe:90`).
 
         Auto-grows (doubles) the fixed capacity when exhausted — a silent
-        JAX out-of-bounds scatter would otherwise drop the update."""
-        if int(self.n_kf) >= self.poses.shape[0]:
+        JAX out-of-bounds scatter would otherwise drop the update.
+        `n_live`: host-side keyframe count for the capacity check; passing
+        it skips the blocking `int(self.n_kf)` device fetch (a full tunnel
+        round trip on a remote-attached chip) — the tracker mirrors the
+        count host-side anyway."""
+        if (int(self.n_kf) if n_live is None else n_live) >= self.poses.shape[0]:
             self = self.grow(kf_capacity=2 * self.poses.shape[0])
         k = self.n_kf
         if area_id is None:
@@ -193,13 +219,16 @@ class Map360:
         info: jnp.ndarray,
         sso: jnp.ndarray | float = 0.0,
         is_loop: bool = False,
+        n_live: int | None = None,
     ) -> "Map360":
         """Record a connection (reference `mmConnectionKFs`, `Map360.h:60`).
 
         rel maps x_i = rel @ x_j (pose of KF j expressed in KF i's frame).
         is_loop marks loop-closure edges for robust (DCS) treatment.
+        `n_live`: host-side edge count — skips the blocking `int(self.n_edges)`
+        fetch for the capacity check (see `add_keyframe`).
         """
-        if int(self.n_edges) >= self.graph.edges_ij.shape[0]:
+        if (int(self.n_edges) if n_live is None else n_live) >= self.graph.edges_ij.shape[0]:
             # auto-grow (double) the edge capacity; one re-jit per bump
             self = self.grow(edge_capacity=2 * self.graph.edges_ij.shape[0])
         e = self.n_edges
@@ -217,6 +246,52 @@ class Map360:
             ),
             edge_is_lc=self.edge_is_lc.at[e].set(bool(is_loop)),
             sso=self.sso.at[i, j].set(sso).at[j, i].set(sso),
+        )
+
+    def add_edges(
+        self,
+        ij: jnp.ndarray,
+        rels: jnp.ndarray,
+        infos: jnp.ndarray,
+        ssos: jnp.ndarray,
+        is_loop: jnp.ndarray,
+        n_live: int,
+    ) -> "Map360":
+        """Append a BATCH of E edges in ONE jitted update program.
+
+        A keyframe event can add several edges at once (odometry + PbMap +
+        connections + loop closures); per-edge eager `.at[].set` updates
+        cost ~6 device dispatches EACH, so the event's edge bookkeeping
+        alone was tens of dispatches.  One program per batch size E (small
+        ints, compile-cached) scatters them all.  `n_live` is the host-side
+        edge count (capacity check + scatter base)."""
+        e_new = int(ij.shape[0])
+        if e_new == 0:
+            return self
+        while n_live + e_new > self.graph.edges_ij.shape[0]:
+            self = self.grow(edge_capacity=2 * self.graph.edges_ij.shape[0])
+        g = self.graph
+        new_g, n_edges, edge_is_lc, sso = _add_edges_impl(
+            g.edges_ij, g.rel, g.info, g.emask, self.edge_is_lc, self.sso,
+            self.n_edges,
+            jnp.asarray(ij, jnp.int32),
+            jnp.asarray(rels, g.rel.dtype),
+            jnp.asarray(infos, g.info.dtype),
+            jnp.asarray(ssos, self.sso.dtype),
+            jnp.asarray(is_loop, bool),
+        )
+        return replace(
+            self,
+            n_edges=n_edges,
+            graph=replace(
+                g,
+                edges_ij=new_g[0],
+                rel=new_g[1],
+                info=new_g[2],
+                emask=new_g[3],
+            ),
+            edge_is_lc=edge_is_lc,
+            sso=sso,
         )
 
     def with_optimized(self, poses: jnp.ndarray) -> "Map360":

@@ -402,6 +402,20 @@ class KeyframeSLAM(TrackerBase):
         # the per-keyframe connection search never rescans the whole edge
         # array (O(E) per keyframe otherwise)
         self._edge_set: set[tuple[int, int]] = set()
+        # host mirrors of the live counts: reading `int(map.n_kf)` /
+        # `int(map.n_edges)` costs a blocking device fetch each (a tunnel
+        # round trip on a remote-attached chip) and, worse, SYNCHRONIZES on
+        # every queued program — fatal to the async keyframe event
+        self._n_kf_host = 0
+        self._n_edges_host = 0
+        self._area_host: list[int] = []
+        # deferred keyframe-event pipeline (reference background LC thread,
+        # `include/LoopClosure360.h:93` — redesigned on JAX async dispatch):
+        # (generator, waits) advanced by `_poll_pending` between frames
+        self._pending: tuple | None = None
+        # dispatch counting for the bench's dispatches_per_kf_event
+        self._ev_nd = 0
+        self.kf_event_dispatches: list[int] = []
         self.pose = np.eye(4)  # current frame world pose
         self.trajectory: list[np.ndarray] = []
         self.lost = False
@@ -443,6 +457,12 @@ class KeyframeSLAM(TrackerBase):
         self._opt_poses_host = None
         self._kf_pyr_cache = {}
         self._edge_set = set()
+        self._n_kf_host = 0
+        self._n_edges_host = 0
+        self._area_host = []
+        self._pending = None
+        self._ev_nd = 0
+        self.kf_event_dispatches = []
         self.pose = np.eye(4)
         self.trajectory = []
         self.lost = False
@@ -459,29 +479,45 @@ class KeyframeSLAM(TrackerBase):
         """Optimized pose of keyframe k from the host mirror (one bulk pull
         per invalidation instead of one round trip per read)."""
         if self._opt_poses_host is None:
-            self._opt_poses_host = np.asarray(self.map.opt_poses)
+            # np.array (copy): the mirror is updated in place on keyframe
+            # adds, and np.asarray of a device array is read-only
+            self._opt_poses_host = np.array(self.map.opt_poses)
         return self._opt_poses_host[k]
 
     def _add_keyframe(self, state: FrameState, pose: np.ndarray) -> int:
-        k = int(self.map.n_kf)
+        # a new keyframe event must not interleave with a still-deferred
+        # previous one (its programs consume the pre-event map); typically a
+        # no-op — events complete within a few tracked frames
+        self._drain_pending()
+        self._ev_nd = 0  # dispatches_per_kf_event counter starts here
+        k = self._n_kf_host
         # a new keyframe joins its tracking parent's topological area; the
         # periodic partitioner refines the assignment (reference
-        # `TopologicalMap360::addKeyframe`, `TopologicalMap360.h:81`)
-        area_id = (
-            int(np.asarray(self.map.area[self.current_kf]))
-            if self.current_kf >= 0
-            else 0
-        )
+        # `TopologicalMap360::addKeyframe`, `TopologicalMap360.h:81`).
+        # Area ids come from the host mirror (the partitioner computes them
+        # host-side anyway) — reading map.area would block on every queued
+        # device program.
+        area_id = self._area_host[self.current_kf] if self.current_kf >= 0 else 0
+        self._area_host.append(area_id)
         self.map = self.map.add_keyframe(
             jnp.asarray(pose),
             state.sphere.sphere_gray,
             state.sphere.sphere_depth,
             state.planes,
             area_id=area_id,
+            n_live=k,
         )
+        self._nd()
+        self._n_kf_host = k + 1
         self.current_kf = k
         self.kf_state = state
-        self._opt_poses_host = None
+        # update the host pose mirror IN PLACE (the new KF's optimized pose
+        # IS its trajectory pose) — invalidating would force the next
+        # `_opt_pose` read to block on every queued device program
+        if self._opt_poses_host is not None and k < len(self._opt_poses_host):
+            self._opt_poses_host[k] = np.asarray(pose)
+        else:
+            self._opt_poses_host = None
         self._kf_pyr_cache[k] = state.pyramid
         # the new KF IS the last tracked frame; the frame-to-frame step of
         # the motion model remains valid across the reference switch
@@ -492,8 +528,71 @@ class KeyframeSLAM(TrackerBase):
 
     def _add_edge(self, i: int, j: int, rel, info, sso=0.0, is_loop=False):
         """Add a graph edge and mirror the pair host-side."""
-        self.map = self.map.add_edge(i, j, rel, info, sso=sso, is_loop=is_loop)
+        self.map = self.map.add_edge(
+            i, j, rel, info, sso=sso, is_loop=is_loop,
+            n_live=self._n_edges_host,
+        )
+        self._nd()
+        self._n_edges_host += 1
         self._edge_set.add((int(i), int(j)))
+
+    def _add_edges(self, edges: list[tuple]) -> None:
+        """Add a batch of (i, j, rel, info, sso, is_loop) edges in ONE
+        update program (`Map360.add_edges`) — a keyframe event's whole edge
+        slate costs one dispatch instead of ~6 per edge."""
+        if not edges:
+            return
+        ij = np.asarray([(int(i), int(j)) for i, j, *_ in edges], np.int32)
+        self.map = self.map.add_edges(
+            jnp.asarray(ij),
+            jnp.asarray(np.stack([np.asarray(e[2]) for e in edges])),
+            jnp.asarray(np.stack([np.asarray(e[3]) for e in edges])),
+            jnp.asarray(np.asarray([float(e[4]) for e in edges], np.float32)),
+            jnp.asarray(np.asarray([bool(e[5]) for e in edges])),
+            n_live=self._n_edges_host,
+        )
+        self._nd()
+        self._n_edges_host += len(edges)
+        self._edge_set.update((int(i), int(j)) for i, j in ij)
+
+    # ------------------------------------------------ deferred event engine
+
+    def _nd(self, n: int = 1) -> None:
+        """Count one device-program dispatch of the current keyframe event
+        (the bench's dispatches_per_kf_event; the tracked frame's equivalent
+        counter drove that path to 1).  Counts framework-level program
+        invocations: each jitted call or batched map update is 1."""
+        self._ev_nd += n
+
+    def _poll_pending(self, block: bool = False) -> None:
+        """Advance the deferred keyframe-event pipeline.
+
+        Each phase of `_kf_event_gen` dispatches device programs and yields
+        their un-fetched arrays; this advances to the next phase when those
+        arrays are READY (fetch then costs ~one tunnel round trip, no device
+        wait), so tracked frames interleave with the event instead of
+        blocking on it — the reference's background LC thread semantics
+        (`SLAM/SphereGraphSLAM.cpp:251-271` drains edges opportunistically).
+        `block=True` runs the pipeline to completion (drain)."""
+        while self._pending is not None:
+            gen, waits = self._pending
+            if waits and not block and not all(w.is_ready() for w in waits):
+                return
+            try:
+                waits = jax.tree_util.tree_leaves(next(gen))
+                self._pending = (gen, waits)
+            except StopIteration:
+                self._pending = None
+
+    def _drain_pending(self) -> None:
+        """Run any deferred keyframe event to completion (map readers and
+        the next keyframe event need the fully-applied map)."""
+        self._poll_pending(block=True)
+
+    def flush(self) -> None:
+        """Public drain: call before reading `map`, `optimized_trajectory`
+        or exporting — applies any still-deferred keyframe-event work."""
+        self._drain_pending()
 
     # --------------------------------------------------- checkpoint/resume
 
@@ -504,6 +603,7 @@ class KeyframeSLAM(TrackerBase):
         (SURVEY 5.4: checkpoint-restart for long/distributed runs)."""
         import numpy as np
 
+        self._drain_pending()
         flat, _ = jax.tree_util.tree_flatten(self.map)
 
         def to_np(x):
@@ -550,10 +650,16 @@ class KeyframeSLAM(TrackerBase):
         self.kf_state = None  # pyramids rebuilt lazily from the map payload
         self._opt_poses_host = None
         self._kf_pyr_cache = {}
+        self._pending = None
+        self._n_kf_host = int(np.asarray(self.map.n_kf))
+        self._n_edges_host = int(np.asarray(self.map.n_edges))
+        self._area_host = [
+            int(a) for a in np.asarray(self.map.area)[: self._n_kf_host]
+        ]
         self._edge_set = {
             (int(a), int(b))
             for a, b in np.asarray(
-                self.map.graph.edges_ij[: int(self.map.n_edges)]
+                self.map.graph.edges_ij[: self._n_edges_host]
             )
         }
         if "track_rel" in data:
@@ -580,6 +686,11 @@ class KeyframeSLAM(TrackerBase):
         self.frame_anchors.append((kf, anchor))
         self.trajectory.append(self.pose.copy())
         self.events.append(ev)
+        # opportunistic non-blocking advance of any deferred keyframe event
+        # (after the anchor read — phases may apply optimized poses).  On a
+        # fast backend phases are usually ready and complete here; on a
+        # remote chip this returns immediately and later frames drain.
+        self._poll_pending()
         return ev
 
     def optimized_trajectory(self) -> np.ndarray:
@@ -589,6 +700,7 @@ class KeyframeSLAM(TrackerBase):
         to keyframes added afterwards.  The reference keeps the analogous
         split as `vTrajectoryPoses` vs `vOptimizedPoses` (`Map360.h:60-64`)
         but never re-anchors past frames."""
+        self._drain_pending()
         opt = np.asarray(self.map.opt_poses)
         return np.stack([opt[kf] @ rel for kf, rel in self.frame_anchors])
 
@@ -617,37 +729,41 @@ class KeyframeSLAM(TrackerBase):
             self._ref_photo = float(res.av_photo_residual)
         return (healthy and small_rot) or small_motion
 
-    def _optimize(self):
+    def _optimize_dispatch(self):
+        """Dispatch the pose-graph solve (ONE program either way); returns
+        the un-fetched (poses, chi2, iters) device arrays."""
         g = self.config.graph
         loop_mask = self.map.edge_is_lc if g.robust_lc else None
+        if self.mesh is not None:
+            from rgbd360_tpu.parallel.sharded import (
+                distributed_pose_graph_pcg,
+            )
+
+            return distributed_pose_graph_pcg(
+                self.mesh,
+                self.map.graph,
+                max_iters=g.max_iters,
+                lm_lambda0=g.lm_lambda0,
+                lm_step=g.lm_step,
+                loop_mask=loop_mask,
+                dcs_phi=g.dcs_phi,
+            )
+        if self.map.poses.shape[0] > g.pcg_threshold_kf:
+            from rgbd360_tpu.slam.graph import optimize_pose_graph_pcg
+
+            return optimize_pose_graph_pcg(
+                self.map.graph, g.max_iters,
+                lm_lambda0=g.lm_lambda0, lm_step=g.lm_step,
+                loop_mask=loop_mask, dcs_phi=g.dcs_phi,
+            )
+        return optimize_pose_graph(
+            self.map.graph, g.max_iters, g.lm_lambda0, g.lm_step,
+            loop_mask=loop_mask, dcs_phi=g.dcs_phi,
+        )
+
+    def _optimize(self):
         with self.timer.region("optimize"):
-            if self.mesh is not None:
-                from rgbd360_tpu.parallel.sharded import (
-                    distributed_pose_graph_pcg,
-                )
-
-                poses, chi2, iters = distributed_pose_graph_pcg(
-                    self.mesh,
-                    self.map.graph,
-                    max_iters=g.max_iters,
-                    lm_lambda0=g.lm_lambda0,
-                    lm_step=g.lm_step,
-                    loop_mask=loop_mask,
-                    dcs_phi=g.dcs_phi,
-                )
-            elif self.map.poses.shape[0] > g.pcg_threshold_kf:
-                from rgbd360_tpu.slam.graph import optimize_pose_graph_pcg
-
-                poses, chi2, iters = optimize_pose_graph_pcg(
-                    self.map.graph, g.max_iters,
-                    lm_lambda0=g.lm_lambda0, lm_step=g.lm_step,
-                    loop_mask=loop_mask, dcs_phi=g.dcs_phi,
-                )
-            else:
-                poses, chi2, iters = optimize_pose_graph(
-                    self.map.graph, g.max_iters, g.lm_lambda0, g.lm_step,
-                    loop_mask=loop_mask, dcs_phi=g.dcs_phi,
-                )
+            poses, chi2, iters = self._optimize_dispatch()
         self.map = self.map.with_optimized(poses)
         self._opt_poses_host = None
         return float(chi2), int(iters)
@@ -659,6 +775,10 @@ class KeyframeSLAM(TrackerBase):
         runs ONE fused device dispatch (state + PbMap + motion-model-seeded
         dense solve, `_fused_track_fn`) and one result fetch; every other
         case (first frame, lost, config mismatch) takes the split path."""
+        # advance any deferred keyframe event BEFORE this frame's dispatch:
+        # ready phases fetch cheaply and their follow-up programs queue
+        # ahead, overlapping with this frame's own device work + round trip
+        self._poll_pending()
         if (
             self.current_kf >= 0
             and not self.lost
@@ -686,6 +806,7 @@ class KeyframeSLAM(TrackerBase):
 
     def process_state(self, state: FrameState, _pre=None) -> dict:
         kf_cfg = self.config.kf
+        self._poll_pending()  # no-op when process() already polled
         ev: dict = {"keyframe": False, "loop_closures": 0, "relocalized": False}
 
         if self.current_kf < 0:  # first frame seeds the map
@@ -694,6 +815,8 @@ class KeyframeSLAM(TrackerBase):
             return self._emit(ev)
 
         if self.lost:
+            # relocalization scans the map — apply any deferred event first
+            self._drain_pending()
             r = self.relocalizer.relocalize(self.map, state.planes)
             if r.success:
                 # Beyond-reference: verify the plane-only relocalization
@@ -919,27 +1042,22 @@ class KeyframeSLAM(TrackerBase):
         prev_kf = self.current_kf
         k = self._add_keyframe(state, self.pose)
         ev["keyframe"] = True
-        # dense odometry edge (T_prev<-new); info = dense Hessian
-        self._add_edge(
-            prev_kf,
-            k,
-            jnp.asarray(rel),
-            jnp.asarray(res.hessian),
-            sso=float(res.sso),
-        )
-        # consistent PbMap edge adds an extra constraint (reference :547-554)
+        # dense odometry edge (T_prev<-new); info = dense Hessian — plus a
+        # consistent PbMap edge when available (reference :547-554); one
+        # batched update covers both
+        promo_edges = [
+            (prev_kf, k, rel, np.asarray(res.hessian), float(res.sso), False)
+        ]
         if pb is not None and bool(pb.success):
             dpb = np.asarray(pb.pose)
             dt = np.linalg.norm(dpb[:3, 3] - rel[:3, 3])
             dr = rotation_angle_np(dpb[:3, :3].T @ rel[:3, :3])
             if dt < 0.1 and dr < np.deg2rad(5):
-                self._add_edge(
-                    prev_kf,
-                    k,
-                    jnp.asarray(dpb),
-                    jnp.asarray(pb.information),
-                    sso=float(res.sso),
+                promo_edges.append(
+                    (prev_kf, k, dpb, np.asarray(pb.information),
+                     float(res.sso), False)
                 )
+        self._add_edges(promo_edges)
 
         if self._post_keyframe(state, k, ev):
             self.pose = self._opt_pose(k)
@@ -974,30 +1092,62 @@ class KeyframeSLAM(TrackerBase):
 
     def _post_keyframe(self, state: FrameState, k: int, ev: dict) -> bool:
         """Per-new-keyframe map work: neighbor connections, loop-closure
-        search, pose-graph optimization, topological partitioning.  Returns
-        True when optimization ran (the caller refreshes poses read from the
-        map afterwards)."""
+        search, pose-graph optimization, topological partitioning.
+
+        The work runs as a phased pipeline (`_kf_event_gen`).  With
+        `kf.async_kf_events` (default) the pipeline is DEFERRED: each phase
+        dispatches device programs un-fetched and later frames drain it via
+        `_poll_pending` — tracking never blocks on the event (the
+        reference's background LC thread, `include/LoopClosure360.h:93`,
+        redesigned on JAX async dispatch).  Synchronous mode drains here and
+        returns True when optimization ran (the caller refreshes poses read
+        from the map afterwards); async always returns False — optimized
+        poses apply on a later frame, exactly the staleness the reference
+        tolerates (`SLAM/SphereGraphSLAM.cpp:251-271`)."""
+        gen = self._kf_event_gen(state, k, ev)
+        self._pending = (gen, None)
+        if self.config.kf.async_kf_events:
+            self._poll_pending()
+            return False
+        self._drain_pending()
+        return ev.get("optimized", False)
+
+    def _kf_event_gen(self, state: FrameState, k: int, ev: dict):
+        """Keyframe-event pipeline as a generator: each `yield` hands the
+        un-fetched device arrays the next phase needs to `_poll_pending`,
+        which resumes the generator once they are ready (or immediately when
+        draining).  One code path serves both sync and async modes."""
         kf_cfg = self.config.kf
+
+        # ---- phase A: dispatch connection-candidate selection + LC scan.
+        # Connection candidates: nearby KFs of the SAME or a NEIGHBOR
+        # topological area (reference KFsphere_SLAM.cpp:405-461, 2.5 m,
+        # residual < 1.8); area membership bounds the pool independent of
+        # map size; selection runs on device, pulls back a fixed slate.
         kf_pose = self._opt_pose(k)
-        # neighbor-keyframe connections: dense-align against nearby KFs of
-        # the SAME or a NEIGHBOR topological area and add extra edges
-        # (reference KFsphere_SLAM.cpp:405-461 searches same/neighbor-area
-        # KFs within 2.5 m, vConnections with residual < 1.8).  Area
-        # membership — not a fixed candidate cap — bounds the pool, so
-        # per-keyframe work stays independent of total map size; candidate
-        # selection runs on device and pulls back a fixed small slate.
-        top_i, top_ok, top_seeds = fetch(
-            self._connection_kernel(
-                self.map.opt_poses,
-                self.map.n_kf,
-                self.map.area,
-                self.map.n_areas,
-                self.map.graph.edges_ij,
-                self.map.graph.emask,
-                jnp.asarray(k),
-                jnp.asarray(kf_cfg.connection_radius),
-            )
+        conn = self._connection_kernel(
+            self.map.opt_poses,
+            self.map.n_kf,
+            self.map.area,
+            self.map.n_areas,
+            self.map.graph.edges_ij,
+            self.map.graph.emask,
+            jnp.asarray(k),
+            jnp.asarray(kf_cfg.connection_radius),
         )
+        self._nd()
+        scan = None
+        if self._n_kf_host > 3:  # LC needs non-recent candidates (excl=2)
+            with self.timer.region("loop_closure"):
+                scan = self.loop_closer.scan_dispatch(
+                    self.map, state.planes, jnp.asarray(kf_pose), k
+                )
+            self._nd()
+        yield (conn, scan)
+
+        # ---- phase B: host-filter both slates; dispatch the batched dense
+        # aligns (connections) and verifications (LC candidates)
+        top_i, top_ok, top_seeds = fetch(conn)
         near = [
             (int(kf), seed)
             for kf, v, seed in zip(top_i, top_ok, top_seeds)
@@ -1005,67 +1155,106 @@ class KeyframeSLAM(TrackerBase):
             and (int(kf), k) not in self._edge_set
             and (k, int(kf)) not in self._edge_set
         ]
-        n_connections = 0
         cands = near[: kf_cfg.max_connections]
+        conn_res = None
         if cands:
-            # ALL candidate alignments in ONE vmapped dispatch (was one
-            # dispatch + fetch round trip per candidate)
             pyrs = [
                 self.loop_closer.kf_pyramid(self.map, kf, self._kf_pyr_cache)
                 for kf, _ in cands
             ]
-            res_b = self.batch_align(
-                state.pyramid, pyrs, [seed for _, seed in cands]
+            conn_res = D.batch_align_targets_dispatch(
+                self.aligner, state.pyramid, pyrs, [seed for _, seed in cands]
             )
+            self._nd()
+        lc_cand: list = []
+        lc_pose: dict = {}
+        verify_res = cand_pyrs = None
+        if scan is not None:
+            with self.timer.region("loop_closure"):
+                lc_cand, lc_pose = self.loop_closer.select_host(fetch(scan))
+                if lc_cand:
+                    # the tracker's own (seam-masked) pyramid serves as the
+                    # query — the fused frontend already built it, saving
+                    # the rebuild dispatch search() pays
+                    verify_res, cand_pyrs = self.loop_closer.verify_dispatch(
+                        self.map, state.pyramid, lc_cand, lc_pose,
+                        self._kf_pyr_cache,
+                    )
+                    self._nd()
+        yield (conn_res, verify_res)
+
+        # ---- phase C: gate fetched results; rescue failed LC candidates;
+        # add the whole edge slate in ONE batched update
+        new_edges: list[tuple] = []
+        n_connections = 0
+        if conn_res is not None:
+            res_f = fetch(conn_res)
             for i, (kf, _) in enumerate(cands):
-                res2 = jax.tree_util.tree_map(lambda a: a[i], res_b)
+                res2 = jax.tree_util.tree_map(lambda a: a[i], res_f)
                 if (
                     not bool(res2.ill_posed)
                     and float(res2.av_depth_residual)
                     < kf_cfg.max_connection_residual
                 ):
-                    self._add_edge(
-                        kf,
-                        k,
-                        jnp.asarray(res2.pose),
-                        jnp.asarray(res2.hessian),
-                        sso=float(res2.sso),
+                    new_edges.append(
+                        (kf, k, res2.pose, res2.hessian, float(res2.sso), False)
                     )
                     n_connections += 1
         ev["connections"] = ev.get("connections", 0) + n_connections
 
-        # loop closures for the new keyframe
-        with self.timer.region("loop_closure"):
-            lcs = self.loop_closer.search(
-                self.map,
-                state.planes,
-                state.sphere.sphere_gray,
-                state.sphere.sphere_depth,
-                jnp.asarray(kf_pose),
-                k,
-                pyr_cache=self._kf_pyr_cache,
-                ref_photo=self._ref_photo,
+        lcs = []
+        failures = []
+        if verify_res is not None:
+            vf = fetch(verify_res)
+            for i, kf in enumerate(lc_cand):
+                res = jax.tree_util.tree_map(lambda a: a[i], vf)
+                if self.loop_closer.gates_ok(res, self._ref_photo):
+                    lcs.append(self.loop_closer.accept(res, kf, k))
+                else:
+                    failures.append((i, kf))
+        # heading rescue for yaw-aliased plane seeds (rare; two dependent
+        # dispatches per failed candidate, each its own wait point)
+        for i, kf in failures:
+            kf_pyr = cand_pyrs[i]
+            coarse = self.loop_closer.rescue_coarse_dispatch(
+                state.pyramid, kf_pyr, lc_pose[kf]
             )
+            self._nd()
+            yield coarse
+            refined, errs = fetch(coarse)
+            res_r = self.loop_closer.rescue_align_dispatch(
+                state.pyramid, kf_pyr, refined, errs
+            )
+            self._nd()
+            yield (res_r,)
+            res_r = fetch(res_r)
+            if self.loop_closer.gates_ok(res_r, self._ref_photo):
+                lcs.append(self.loop_closer.accept(res_r, kf, k))
         for lc in lcs:
-            self._add_edge(
-                lc.kf_from,
-                lc.kf_to,
-                jnp.asarray(lc.rel),
-                jnp.asarray(lc.info),
-                sso=lc.sso,
-                is_loop=True,
+            new_edges.append(
+                (lc.kf_from, lc.kf_to, lc.rel, lc.info, lc.sso, True)
             )
         ev["loop_closures"] = ev.get("loop_closures", 0) + len(lcs)
         self.n_loop_closures += len(lcs)
+        self._add_edges(new_edges)
 
-        # optimize whenever the graph gained a non-odometry constraint
+        # ---- phase D: optimize whenever the graph gained a non-odometry
+        # constraint; apply the optimized poses once the solve has finished
         optimized = bool(lcs or n_connections)
         if optimized:
-            chi2, iters = self._optimize()
-            ev["chi2"] = chi2
+            with self.timer.region("optimize"):
+                poses, chi2, iters = self._optimize_dispatch()
+            self._nd()
+            yield (poses, chi2)
+            self.map = self.map.with_optimized(poses)
+            self._opt_poses_host = None
+            ev["chi2"] = float(chi2)
+            ev["optimized"] = True
 
-        # topological partitioning every 4 KFs (reference :710-717)
-        if int(self.map.n_kf) % self.config.map.partition_every_n_kf == 0:
+        # ---- phase E: topological partitioning every 4 KFs (reference
+        # :710-717); host spectral solve over the fetched SSO matrix
+        if self._n_kf_host % self.config.map.partition_every_n_kf == 0:
+            yield (self.map.sso,)
             area, n_areas = partition_map(
                 self.map,
                 self.config.map.sso_partition_threshold,
@@ -1077,4 +1266,6 @@ class KeyframeSLAM(TrackerBase):
                 area=jnp.asarray(area),
                 n_areas=jnp.int32(n_areas),
             )
-        return optimized
+            self._area_host = [int(a) for a in area[: self._n_kf_host]]
+        ev["kf_dispatches"] = self._ev_nd
+        self.kf_event_dispatches.append(self._ev_nd)

@@ -471,3 +471,51 @@ def test_fused_track_matches_split(calibration):
         np.stack(fused.trajectory), np.stack(split.trajectory), atol=1e-4
     )
     assert int(fused.map.n_kf) == int(split.map.n_kf)
+
+
+def test_async_kf_events_match_sync(calibration):
+    """The deferred keyframe-event pipeline (`kf.async_kf_events`, the
+    reference's background LC thread redesigned on JAX async dispatch,
+    `include/LoopClosure360.h:93`) must reproduce the synchronous pipeline:
+    same keyframes, same edges, same loop closures, and an optimized
+    trajectory within solver tolerance — deferred constraint application
+    (the staleness `SLAM/SphereGraphSLAM.cpp:251-271` tolerates) must not
+    change where the map converges."""
+    from dataclasses import replace
+
+    from rgbd360_tpu.apps.grabber import synth_capture, synth_trajectory_poses
+    from rgbd360_tpu.config import default_config
+    from rgbd360_tpu.core.frame import FrameBuilder
+    from rgbd360_tpu.io.calib import load_calibration
+    from rgbd360_tpu.slam.odometry import KeyframeSLAM
+
+    calib = load_calibration("/root/reference/Calibration/Extrinsics", None)
+    rt = np.asarray(calib.rt, np.float64)
+    n = 14
+    gt = synth_trajectory_poses("loop", n, radius=0.8)
+    raws = [synth_capture(i, rt=rt, pose=gt[i], room="octagon") for i in range(n)]
+
+    cfg = default_config()
+    builder = FrameBuilder(calib, cfg)
+    runs = {}
+    for mode in (False, True):
+        cfg_m = cfg.replace(kf=replace(cfg.kf, async_kf_events=mode))
+        slam = KeyframeSLAM(builder, cfg_m)
+        for raw in raws:
+            slam.process(raw)
+        slam.flush()
+        runs[mode] = slam
+
+    sync, asy = runs[False], runs[True]
+    assert asy._pending is None
+    assert int(asy.map.n_kf) == int(sync.map.n_kf)
+    assert int(asy.map.n_edges) == int(sync.map.n_edges)
+    assert asy.n_loop_closures == sync.n_loop_closures
+    # keyframe events went through the deferred pipeline and the dispatch
+    # counter recorded them (the bench's dispatches_per_kf_event source)
+    assert asy.kf_event_dispatches, "no keyframe event was recorded"
+    assert max(asy.kf_event_dispatches) <= 12, asy.kf_event_dispatches
+    opt_s = sync.optimized_trajectory()
+    opt_a = asy.optimized_trajectory()
+    d = np.linalg.norm(opt_a[:, :3, 3] - opt_s[:, :3, 3], axis=1)
+    assert d.max() < 0.02, f"async trajectory deviates {d.max():.4f} m"
