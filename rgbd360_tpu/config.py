@@ -273,6 +273,15 @@ class KeyframeConfig:
     # enough to warrant the next seed in the fallback chain (bad PbMap seeds
     # land in high-error local minima; well-seeded solves sit well below).
     fallback_error: float = 3.0
+    # CONNECTION dense aligns (the per-keyframe neighbor edges, reference
+    # `KFsphere_SLAM.cpp:405-461`) start this many pyramid levels below
+    # full resolution.  Full-res aligns cost ~14 ms each on chip and a
+    # keyframe event batches up to `max_connections` of them — the single
+    # largest block of event device time (measured round 4).  One level
+    # down is 4x fewer rows per sweep at ~2x the alignment error (a few
+    # mm) — ample for auxiliary graph edges, whose information matrix
+    # (the coarse solve's own Hessian) scales accordingly.  0 = full res.
+    connection_coarse_level: int = 1
     # Overlap keyframe-event map work (connection aligns, loop-closure
     # scan/verify, pose-graph optimization, partitioning) with subsequent
     # tracked frames — the reference's background loop-closure thread
@@ -326,9 +335,12 @@ class LoopClosureConfig:
     # salient-16k ALONE converges ~mm short on wide-baseline closures and
     # loses 1 of 2 closures at the 2.0 depth gate (residual 2.0+ vs 1.79),
     # while salient-16k + polish-2 reproduces both decisions with
-    # residuals within 4% of full sweeps.  0 keeps full sweeps (the
-    # gate-calibration configuration, default).
-    verify_salient_pixels: int = 0
+    # residuals within 4% of full sweeps.  Default ON since round 4: the
+    # keyframe event's verify batch is a major block of its device time and
+    # the polish-2 configuration reproduces full-sweep decisions (measured,
+    # docs/PERFORMANCE.md round 3).  0 restores full sweeps (the
+    # gate-calibration configuration).
+    verify_salient_pixels: int = 16384
 
 
 @dataclass(frozen=True)
@@ -341,10 +353,18 @@ class RelocConfig:
 
 @dataclass(frozen=True)
 class MapConfig:
-    """Fixed capacities for the jittable map state."""
+    """Fixed capacities for the jittable map state.
 
-    max_keyframes: int = 512
-    max_edges: int = 4096
+    These are STARTING capacities: the map auto-grows geometrically
+    (doubling) when exhausted, recompiling the map-shaped programs once per
+    bump.  Round 4 lowered the defaults 512/4096 -> 64/512: every
+    map-shaped program (LC scan, candidate kernels, pose-graph solves)
+    costs proportional to CAPACITY, not live count, so a fresh session was
+    paying 512-KF solve time for a 10-keyframe map — measured as a large
+    share of keyframe-event device time."""
+
+    max_keyframes: int = 64
+    max_edges: int = 512
     max_areas: int = 64
     # Topological partitioning (reference `include/TopologicalMap360.h:411`).
     sso_partition_threshold: float = 0.8

@@ -58,6 +58,20 @@ class FramePyramid:
     depth_gy: tuple
 
 
+def pyramid_tail(pyr: "FramePyramid", start: int) -> "FramePyramid":
+    """The same pyramid without its `start` finest levels — lets a caller
+    run an aligner configured for fewer levels on coarser data (e.g. the
+    keyframe event's connection aligns at 1/4 the rows)."""
+    return FramePyramid(
+        gray=pyr.gray[start:],
+        depth=pyr.depth[start:],
+        gray_gx=pyr.gray_gx[start:],
+        gray_gy=pyr.gray_gy[start:],
+        depth_gx=pyr.depth_gx[start:],
+        depth_gy=pyr.depth_gy[start:],
+    )
+
+
 @jax.tree_util.register_dataclass
 @dataclass
 class AlignResult:
@@ -976,9 +990,14 @@ def batch_align_targets_dispatch(aligner, src_pyr, trg_pyrs: list, seeds: list):
     n = len(trg_pyrs)
     if n == 0:
         raise ValueError("batch_align_targets needs at least one target")
-    cap = 1
-    while cap < n:
-        cap *= 2
+    # even batch sizes, exact above 4 (one compiled program per size seen;
+    # sizes are small ints bounded by max_connections / max_dense_checks
+    # and the warmup lap covers them) — power-of-two padding computed 8
+    # aligns for a 6-candidate slate, wasted device time on the serial
+    # stream.  NOTE: exact ODD sizes measured a reproducible TPU runtime
+    # crash in the vmapped align at batch 3 (kernel fault, round 4); even
+    # padding avoids the faulting shapes at ≤17% waste.
+    cap = n + (n & 1)
     trg_pyrs = list(trg_pyrs) + [trg_pyrs[0]] * (cap - n)
     seeds = [_np.asarray(s) for s in seeds] + [_np.eye(4)] * (cap - n)
     # the pytree stack happens INSIDE the jitted program: eager jnp.stack

@@ -146,12 +146,6 @@ class TrackerBase:
             self._fused_track = jax.jit(impl)
         return self._fused_track
 
-    def batch_align(self, src_pyr, trg_pyrs: list, seeds: list):
-        """Dense-align ONE source against SEVERAL target pyramids in one
-        vmapped dispatch (the per-keyframe-event pattern: connection
-        candidates, LC verifications) — see `dense.batch_align_targets`."""
-        return D.batch_align_targets(self.aligner, src_pyr, trg_pyrs, seeds)
-
     def align_with_fallback(
         self, src_pyr, trg_pyr, seeds, prev_rel=None, pre=None
     ):
@@ -386,6 +380,27 @@ class KeyframeSLAM(TrackerBase):
             cfg.seg.max_planes,
             cfg.seg.hull_dirs,
         )
+        # connection aligns start `kf.connection_coarse_level` pyramid
+        # levels below full resolution: the up-to-`max_connections`
+        # full-res batch was the largest block of keyframe-event device
+        # time (measured round 4); one level down is 4x fewer rows at a
+        # few mm of extra error — ample for auxiliary graph edges
+        self._conn_level = min(
+            cfg.kf.connection_coarse_level, cfg.dense.pyramid_levels - 1
+        )
+        self._conn_aligner = (
+            D.DenseAligner(
+                dataclasses.replace(
+                    cfg.dense,
+                    pyramid_levels=cfg.dense.pyramid_levels
+                    - self._conn_level,
+                    salient_pixels=0,
+                    polish_iters=0,
+                )
+            )
+            if self._conn_level > 0
+            else self.aligner
+        )
         self.loop_closer = LoopCloser(cfg, mesh=mesh)
         self.relocalizer = Relocalizer(cfg, mesh=mesh)
         self.current_kf = -1
@@ -411,10 +426,19 @@ class KeyframeSLAM(TrackerBase):
         self._area_host: list[int] = []
         # deferred keyframe-event pipeline (reference background LC thread,
         # `include/LoopClosure360.h:93` — redesigned on JAX async dispatch):
-        # (generator, waits) advanced by `_poll_pending` between frames
-        self._pending: tuple | None = None
-        # dispatch counting for the bench's dispatches_per_kf_event
-        self._ev_nd = 0
+        # a FIFO of (generator, waits, counter) advanced HEAD-ONLY by
+        # `_poll_pending` between frames.  Head-only advancement serializes
+        # event programs (no two events' phases interleave) while letting a
+        # new keyframe ENQUEUE its event instead of draining the previous
+        # one — the reference's LC thread queues new keyframes the same way
+        # (`LoopClosure360.h:108` run loop).  Bounded at 2 in flight.
+        from collections import deque
+
+        self._pending: "deque" = deque()
+        # per-event dispatch counter (bench's dispatches_per_kf_event);
+        # _poll_pending swaps in the advancing event's counter so every
+        # dispatch attributes to the event that issued it
+        self._cur_counter = [0]
         self.kf_event_dispatches: list[int] = []
         self.pose = np.eye(4)  # current frame world pose
         self.trajectory: list[np.ndarray] = []
@@ -460,8 +484,8 @@ class KeyframeSLAM(TrackerBase):
         self._n_kf_host = 0
         self._n_edges_host = 0
         self._area_host = []
-        self._pending = None
-        self._ev_nd = 0
+        self._pending.clear()
+        self._cur_counter = [0]
         self.kf_event_dispatches = []
         self.pose = np.eye(4)
         self.trajectory = []
@@ -485,11 +509,15 @@ class KeyframeSLAM(TrackerBase):
         return self._opt_poses_host[k]
 
     def _add_keyframe(self, state: FrameState, pose: np.ndarray) -> int:
-        # a new keyframe event must not interleave with a still-deferred
-        # previous one (its programs consume the pre-event map); typically a
-        # no-op — events complete within a few tracked frames
-        self._drain_pending()
-        self._ev_nd = 0  # dispatches_per_kf_event counter starts here
+        # at most 2 keyframe events in flight: when keyframes cluster
+        # faster than events complete, drain the HEAD first (the reference
+        # LC thread's queue grows the same way and is processed serially);
+        # otherwise promotion only ENQUEUES — it never blocks on the
+        # previous event (round-4 measured: the drain was the keyframe
+        # frame's remaining stall)
+        while len(self._pending) >= 2:
+            self._advance_head()
+        self._cur_counter = [0]  # dispatches_per_kf_event starts here
         k = self._n_kf_host
         # a new keyframe joins its tracking parent's topological area; the
         # periodic partitioner refines the assignment (reference
@@ -558,14 +586,14 @@ class KeyframeSLAM(TrackerBase):
     # ------------------------------------------------ deferred event engine
 
     def _nd(self, n: int = 1) -> None:
-        """Count one device-program dispatch of the current keyframe event
+        """Count one device-program dispatch of the active keyframe event
         (the bench's dispatches_per_kf_event; the tracked frame's equivalent
         counter drove that path to 1).  Counts framework-level program
         invocations: each jitted call or batched map update is 1."""
-        self._ev_nd += n
+        self._cur_counter[0] += n
 
     def _poll_pending(self, block: bool = False) -> None:
-        """Advance the deferred keyframe-event pipeline.
+        """Advance the deferred keyframe-event queue, HEAD event only.
 
         Each phase of `_kf_event_gen` dispatches device programs and yields
         their un-fetched arrays; this advances to the next phase when those
@@ -573,16 +601,28 @@ class KeyframeSLAM(TrackerBase):
         wait), so tracked frames interleave with the event instead of
         blocking on it — the reference's background LC thread semantics
         (`SLAM/SphereGraphSLAM.cpp:251-271` drains edges opportunistically).
-        `block=True` runs the pipeline to completion (drain)."""
-        while self._pending is not None:
-            gen, waits = self._pending
+        `block=True` runs the whole queue to completion (drain)."""
+        while self._pending:
+            gen, waits, counter = self._pending[0]
             if waits and not block and not all(w.is_ready() for w in waits):
                 return
+            self._advance_head()
+
+    def _advance_head(self) -> None:
+        """Resume the head event's generator one phase (fetches inside it
+        block until their arrays are ready), attributing its dispatches to
+        its own counter."""
+        gen, waits, counter = self._pending[0]
+        saved = self._cur_counter
+        self._cur_counter = counter
+        try:
             try:
                 waits = jax.tree_util.tree_leaves(next(gen))
-                self._pending = (gen, waits)
+                self._pending[0] = (gen, waits, counter)
             except StopIteration:
-                self._pending = None
+                self._pending.popleft()
+        finally:
+            self._cur_counter = saved
 
     def _drain_pending(self) -> None:
         """Run any deferred keyframe event to completion (map readers and
@@ -650,7 +690,7 @@ class KeyframeSLAM(TrackerBase):
         self.kf_state = None  # pyramids rebuilt lazily from the map payload
         self._opt_poses_host = None
         self._kf_pyr_cache = {}
-        self._pending = None
+        self._pending.clear()
         self._n_kf_host = int(np.asarray(self.map.n_kf))
         self._n_edges_host = int(np.asarray(self.map.n_edges))
         self._area_host = [
@@ -775,10 +815,10 @@ class KeyframeSLAM(TrackerBase):
         runs ONE fused device dispatch (state + PbMap + motion-model-seeded
         dense solve, `_fused_track_fn`) and one result fetch; every other
         case (first frame, lost, config mismatch) takes the split path."""
-        # advance any deferred keyframe event BEFORE this frame's dispatch:
-        # ready phases fetch cheaply and their follow-up programs queue
-        # ahead, overlapping with this frame's own device work + round trip
-        self._poll_pending()
+        # NOTE: deferred keyframe-event phases advance in process_state
+        # (AFTER this frame's fused fetch) — advancing here would queue
+        # event programs in front of the tracked frame's dispatch on the
+        # serial device stream and inflate its latency (measured round 4)
         if (
             self.current_kf >= 0
             and not self.lost
@@ -1105,12 +1145,46 @@ class KeyframeSLAM(TrackerBase):
         poses apply on a later frame, exactly the staleness the reference
         tolerates (`SLAM/SphereGraphSLAM.cpp:251-271`)."""
         gen = self._kf_event_gen(state, k, ev)
-        self._pending = (gen, None)
+        self._pending.append((gen, None, self._cur_counter))
         if self.config.kf.async_kf_events:
             self._poll_pending()
             return False
         self._drain_pending()
         return ev.get("optimized", False)
+
+    def _phase_a_fused(self, query_planes, k: int, kf_pose):
+        """Connection-candidate kernel + LC gate/match/select as ONE jitted
+        program (single-device): a keyframe event's phase A is one dispatch."""
+        if not hasattr(self, "_phase_a_jit"):
+            lc = self.loop_closer
+            lc_cfg = self.config.lc
+            kf_cfg = self.config.kf
+
+            def impl(m, planes, k_, pose):
+                # nested jit calls trace inline — one fused program
+                conn = KeyframeSLAM._connection_kernel(
+                    m.opt_poses, m.n_kf, m.area, m.n_areas,
+                    m.graph.edges_ij, m.graph.emask, k_,
+                    jnp.float32(kf_cfg.connection_radius),
+                )
+                scan = lc._scan_select_impl(
+                    planes, m.planes, m.opt_poses, m.n_kf, m.area,
+                    m.n_areas, m.sso, m.graph.edges_ij, m.graph.emask,
+                    pose, k_, jnp.asarray(2),
+                    jnp.asarray(lc_cfg.search_radius),
+                    jnp.asarray(lc_cfg.min_matches),
+                    jnp.asarray(lc_cfg.min_area),
+                    area_gating=bool(lc_cfg.area_gating),
+                    k=lc_cfg.max_dense_checks,
+                )
+                return conn, scan
+
+            self._phase_a_jit = jax.jit(
+                impl, static_argnames=()
+            )
+        return self._phase_a_jit(
+            self.map, query_planes, jnp.asarray(k), jnp.asarray(kf_pose)
+        )
 
     def _kf_event_gen(self, state: FrameState, k: int, ev: dict):
         """Keyframe-event pipeline as a generator: each `yield` hands the
@@ -1125,29 +1199,37 @@ class KeyframeSLAM(TrackerBase):
         # residual < 1.8); area membership bounds the pool independent of
         # map size; selection runs on device, pulls back a fixed slate.
         kf_pose = self._opt_pose(k)
-        conn = self._connection_kernel(
-            self.map.opt_poses,
-            self.map.n_kf,
-            self.map.area,
-            self.map.n_areas,
-            self.map.graph.edges_ij,
-            self.map.graph.emask,
-            jnp.asarray(k),
-            jnp.asarray(kf_cfg.connection_radius),
-        )
-        self._nd()
-        scan = None
-        if self._n_kf_host > 3:  # LC needs non-recent candidates (excl=2)
-            with self.timer.region("loop_closure"):
-                scan = self.loop_closer.scan_dispatch(
-                    self.map, state.planes, jnp.asarray(kf_pose), k
-                )
+        lc_wanted = self._n_kf_host > 3  # LC needs non-recent cands (excl=2)
+        if self.mesh is None and lc_wanted:
+            # single-device: connection slate + LC scan/select fused into
+            # ONE program — one dispatch instead of two (VERDICT r3 #4)
+            conn, scan = self._phase_a_fused(state.planes, k, kf_pose)
             self._nd()
+        else:
+            conn = self._connection_kernel(
+                self.map.opt_poses,
+                self.map.n_kf,
+                self.map.area,
+                self.map.n_areas,
+                self.map.graph.edges_ij,
+                self.map.graph.emask,
+                jnp.asarray(k),
+                jnp.asarray(kf_cfg.connection_radius),
+            )
+            self._nd()
+            scan = None
+            if lc_wanted:
+                with self.timer.region("loop_closure"):
+                    scan = self.loop_closer.scan_dispatch(
+                        self.map, state.planes, jnp.asarray(kf_pose), k
+                    )
+                self._nd()
         yield (conn, scan)
 
-        # ---- phase B: host-filter both slates; dispatch the batched dense
-        # aligns (connections) and verifications (LC candidates)
-        top_i, top_ok, top_seeds = fetch(conn)
+        # ---- phase B: host-filter both slates (ONE combined fetch round
+        # trip); dispatch the batched dense aligns (connections) and
+        # verifications (LC candidates)
+        (top_i, top_ok, top_seeds), scan_f = fetch((conn, scan))
         near = [
             (int(kf), seed)
             for kf, v, seed in zip(top_i, top_ok, top_seeds)
@@ -1158,20 +1240,27 @@ class KeyframeSLAM(TrackerBase):
         cands = near[: kf_cfg.max_connections]
         conn_res = None
         if cands:
+            lv = self._conn_level
             pyrs = [
-                self.loop_closer.kf_pyramid(self.map, kf, self._kf_pyr_cache)
+                D.pyramid_tail(
+                    self.loop_closer.kf_pyramid(
+                        self.map, kf, self._kf_pyr_cache
+                    ),
+                    lv,
+                )
                 for kf, _ in cands
             ]
             conn_res = D.batch_align_targets_dispatch(
-                self.aligner, state.pyramid, pyrs, [seed for _, seed in cands]
+                self._conn_aligner, D.pyramid_tail(state.pyramid, lv), pyrs,
+                [seed for _, seed in cands],
             )
             self._nd()
         lc_cand: list = []
         lc_pose: dict = {}
         verify_res = cand_pyrs = None
-        if scan is not None:
+        if scan_f is not None:
             with self.timer.region("loop_closure"):
-                lc_cand, lc_pose = self.loop_closer.select_host(fetch(scan))
+                lc_cand, lc_pose = self.loop_closer.select_host(scan_f)
                 if lc_cand:
                     # the tracker's own (seam-masked) pyramid serves as the
                     # query — the fused frontend already built it, saving
@@ -1183,12 +1272,12 @@ class KeyframeSLAM(TrackerBase):
                     self._nd()
         yield (conn_res, verify_res)
 
-        # ---- phase C: gate fetched results; rescue failed LC candidates;
-        # add the whole edge slate in ONE batched update
+        # ---- phase C: gate fetched results (ONE combined round trip);
+        # rescue failed LC candidates; add the edge slate in ONE update
         new_edges: list[tuple] = []
         n_connections = 0
-        if conn_res is not None:
-            res_f = fetch(conn_res)
+        res_f, vf = fetch((conn_res, verify_res))
+        if res_f is not None:
             for i, (kf, _) in enumerate(cands):
                 res2 = jax.tree_util.tree_map(lambda a: a[i], res_f)
                 if (
@@ -1204,8 +1293,7 @@ class KeyframeSLAM(TrackerBase):
 
         lcs = []
         failures = []
-        if verify_res is not None:
-            vf = fetch(verify_res)
+        if vf is not None:
             for i, kf in enumerate(lc_cand):
                 res = jax.tree_util.tree_map(lambda a: a[i], vf)
                 if self.loop_closer.gates_ok(res, self._ref_photo):
@@ -1239,25 +1327,46 @@ class KeyframeSLAM(TrackerBase):
         self._add_edges(new_edges)
 
         # ---- phase D: optimize whenever the graph gained a non-odometry
-        # constraint; apply the optimized poses once the solve has finished
+        # constraint; apply the optimized poses once the solve has finished.
+        # The periodic partition (reference :710-717, host spectral solve
+        # over the fetched SSO) shares D's wait point — the SSO update was
+        # queued before the optimize dispatch, so poses-ready implies
+        # sso-ready (no extra round trip).
         optimized = bool(lcs or n_connections)
+        # the event's OWN keyframe index decides the partition cadence —
+        # the live count would drift when queued events complete late,
+        # skipping partitions whenever the modulo happened to miss
+        partition_due = (k + 1) % self.config.map.partition_every_n_kf == 0
+        sso_f = None
         if optimized:
+            n0 = self._n_kf_host  # keyframes the dispatched solve covers
             with self.timer.region("optimize"):
                 poses, chi2, iters = self._optimize_dispatch()
             self._nd()
             yield (poses, chi2)
+            if partition_due:  # ONE combined fetch round trip
+                chi2_f, sso_f = fetch((chi2, self.map.sso))
+            else:
+                chi2_f = float(chi2)
+            # apply only the first n0 poses: a keyframe promoted while the
+            # solve was in flight (queued event) occupies a LATER slot whose
+            # value in `poses` is the pre-promotion padding — a full
+            # replacement would clobber it
+            if self._n_kf_host > n0:
+                poses = self.map.opt_poses.at[:n0].set(poses[:n0])
+                self._nd()
             self.map = self.map.with_optimized(poses)
             self._opt_poses_host = None
-            ev["chi2"] = float(chi2)
+            ev["chi2"] = float(chi2_f)
             ev["optimized"] = True
-
-        # ---- phase E: topological partitioning every 4 KFs (reference
-        # :710-717); host spectral solve over the fetched SSO matrix
-        if self._n_kf_host % self.config.map.partition_every_n_kf == 0:
+        elif partition_due:
             yield (self.map.sso,)
+            sso_f = fetch(self.map.sso)
+        if partition_due:
             area, n_areas = partition_map(
                 self.map,
                 self.config.map.sso_partition_threshold,
+                sso=sso_f,
             )
             from dataclasses import replace as _replace
 
@@ -1267,5 +1376,7 @@ class KeyframeSLAM(TrackerBase):
                 n_areas=jnp.int32(n_areas),
             )
             self._area_host = [int(a) for a in area[: self._n_kf_host]]
-        ev["kf_dispatches"] = self._ev_nd
-        self.kf_event_dispatches.append(self._ev_nd)
+        # the generator body always runs under _advance_head with its own
+        # counter swapped in, so this reads the event's exact dispatch count
+        ev["kf_dispatches"] = self._cur_counter[0]
+        self.kf_event_dispatches.append(self._cur_counter[0])

@@ -87,18 +87,19 @@ def recursive_spectral_partition(
     return labels.astype(np.int32)
 
 
-def partition_map(map360, threshold: float = 0.8, min_size: int = 3):
+def partition_map(map360, threshold: float = 0.8, min_size: int = 3, sso=None):
     """Repartition a Map360's live keyframes; returns (area ids (N,), count).
 
     Equivalent of `TopologicalMap360::Partitioner` + `ArrangeGraphSSO`
     (reference `TopologicalMap360.h:391-411,170-368`) — but since the SSO
     matrix is global and dense, no block rearrangement is needed; areas are
-    just relabeled."""
+    just relabeled.  `sso`: optionally the ALREADY-FETCHED host SSO matrix
+    (the async keyframe event combines this fetch with the optimizer's)."""
     n_kf = int(map360.n_kf)
     full = np.zeros(map360.area.shape[0], dtype=np.int32)
     if n_kf == 0:
         return full, 1
-    sso = np.asarray(map360.sso)[:n_kf, :n_kf].astype(np.float64)
+    sso = np.asarray(map360.sso if sso is None else sso)[:n_kf, :n_kf].astype(np.float64)
     sso = np.maximum(sso, sso.T)
     labels = recursive_spectral_partition(sso, threshold, min_size)
     full[:n_kf] = labels

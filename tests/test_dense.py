@@ -233,3 +233,24 @@ def test_bilinear_beats_nearest_on_exact_geometry():
     assert err[True] < err[False], (err, avd)
     assert err[True] < 0.002, (err, avd)
     assert avd[True] < avd[False], avd
+
+
+def test_pyramid_tail_levels():
+    """`pyramid_tail` drops the finest levels so a fewer-level aligner can
+    run at coarse resolution (the keyframe event's connection aligns)."""
+    import jax.numpy as jnp
+
+    from rgbd360_tpu.config import DenseRegConfig
+    from rgbd360_tpu.registration import dense as D
+
+    cfg = DenseRegConfig(pyramid_levels=3)
+    g = jnp.ones((64, 128))
+    d = jnp.full((64, 128), 2.0)
+    pyr = D.build_frame_pyramid(g, d, cfg)
+    tail = D.pyramid_tail(pyr, 1)
+    assert len(tail.gray) == 2
+    assert tail.gray[0].shape == (32, 64)
+    assert tail.depth[1].shape == (16, 32)
+    # start=0 is the identity
+    same = D.pyramid_tail(pyr, 0)
+    assert same.gray[0].shape == pyr.gray[0].shape

@@ -220,6 +220,7 @@ def test_keyframe_slam_sharded_matches_single(mesh, calibration, sample_paths):
         slam = KeyframeSLAM(builder, cfg, mesh=m)
         for g, d in frames:
             slam.process_state(slam.make_state_from_sphere(g, d))
+        slam.flush()  # apply the deferred keyframe events
         runs[name] = slam
 
     a, b = runs["single"], runs["sharded"]

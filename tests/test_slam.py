@@ -190,6 +190,56 @@ class TestMap:
         assert float(m.sso[0, 1]) == pytest.approx(0.8)
         assert bool(m.graph.emask[0])
 
+    def test_add_edges_batched_matches_sequential(self):
+        """`Map360.add_edges` (ONE update program per batch, the async
+        keyframe event's edge slate) must equal per-edge `add_edge`,
+        including the SSO mirror, LC flags, and auto-grow past capacity."""
+        m, cfg = self._small_map()
+        gray = jnp.ones((32, 64))
+        depth = jnp.full((32, 64), 2.0)
+        planes = jax.tree_util.tree_map(lambda a: a[0], m.planes)
+        for i in range(4):
+            m = m.add_keyframe(jnp.eye(4), gray, depth, planes, n_live=i)
+        rels = [np.asarray(se3.se3_exp(jnp.asarray([0.1 * i, 0, 0, 0, 0, 0])))
+                for i in range(1, 4)]
+        infos = [np.eye(6) * (10 + i) for i in range(3)]
+
+        seq = m
+        for i in range(3):
+            seq = seq.add_edge(i, i + 1, jnp.asarray(rels[i]),
+                               jnp.asarray(infos[i]), sso=0.1 * i,
+                               is_loop=(i == 2), n_live=i)
+        bat = m.add_edges(
+            jnp.asarray([[0, 1], [1, 2], [2, 3]], jnp.int32),
+            jnp.asarray(np.stack(rels)),
+            jnp.asarray(np.stack(infos)),
+            jnp.asarray([0.0, 0.1, 0.2], jnp.float32),
+            jnp.asarray([False, False, True]),
+            n_live=0,
+        )
+        assert int(bat.n_edges) == int(seq.n_edges) == 3
+        for name in ("edges_ij", "rel", "info", "emask"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(bat.graph, name)),
+                np.asarray(getattr(seq.graph, name)), atol=1e-7,
+            )
+        np.testing.assert_allclose(np.asarray(bat.sso), np.asarray(seq.sso))
+        np.testing.assert_array_equal(
+            np.asarray(bat.edge_is_lc), np.asarray(seq.edge_is_lc)
+        )
+        # batch overflowing the edge capacity auto-grows like add_edge
+        many = 20
+        grown = bat.add_edges(
+            jnp.zeros((many, 2), jnp.int32),
+            jnp.broadcast_to(jnp.eye(4), (many, 4, 4)),
+            jnp.broadcast_to(jnp.eye(6), (many, 6, 6)),
+            jnp.zeros((many,)),
+            jnp.zeros((many,), bool),
+            n_live=3,
+        )
+        assert grown.graph.edges_ij.shape[0] >= 23
+        assert int(grown.n_edges) == 23
+
     def test_save_load_roundtrip(self, tmp_path):
         m, _ = self._small_map()
         gray = jnp.ones((32, 64))
@@ -466,9 +516,11 @@ def test_lc_salient_verify_wiring():
     from rgbd360_tpu.slam.loop_closure import LoopCloser
 
     cfg = default_config()
-    lc = LoopCloser(cfg.replace(lc=replace(cfg.lc, verify_salient_pixels=16384)))
+    # default ON since round 4 (keyframe-event device time), polish forced
+    lc = LoopCloser(cfg)
+    assert cfg.lc.verify_salient_pixels == 16384
     assert lc._aligner.cfg.salient_pixels == 16384
     assert lc._aligner.cfg.polish_iters >= 2
-    # default stays full-sweep (the gate-calibration configuration)
-    lc_full = LoopCloser(cfg)
+    # 0 restores full sweeps (the gate-calibration configuration)
+    lc_full = LoopCloser(cfg.replace(lc=replace(cfg.lc, verify_salient_pixels=0)))
     assert lc_full._aligner.cfg.salient_pixels == cfg.dense.salient_pixels

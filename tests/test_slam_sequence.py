@@ -92,6 +92,7 @@ def test_keyframe_slam_closes_loop(seq):
     slam = KeyframeSLAM(builder, cfg)
     for g, d in frames:
         slam.process_state(slam.make_state_from_sphere(g, d))
+    slam.flush()  # apply the deferred keyframe events (join the LC "thread")
 
     est = np.stack(slam.trajectory)
     ate = ate_rmse(est, gt)
@@ -380,6 +381,7 @@ def test_soak_long_horizon(calibration, tmp_path):
             assert len(fresh.trajectory) == len(slam.trajectory)
             slam = fresh  # continue the run on the resumed tracker
 
+    slam.flush()  # apply the deferred keyframe events before reading stats
     n_kf = int(slam.map.n_kf)
     # --- scale assertions
     assert n_kf >= 50, f"only {n_kf} keyframes"
@@ -507,7 +509,7 @@ def test_async_kf_events_match_sync(calibration):
         runs[mode] = slam
 
     sync, asy = runs[False], runs[True]
-    assert asy._pending is None
+    assert not asy._pending
     assert int(asy.map.n_kf) == int(sync.map.n_kf)
     assert int(asy.map.n_edges) == int(sync.map.n_edges)
     assert asy.n_loop_closures == sync.n_loop_closures
