@@ -113,11 +113,12 @@ def main(argv=None):
                    "level instead of dense sweeps (the reference's "
                    "bUseSalientPixels; 16384 doubles frontend throughput at "
                    "~3.5 mm pose difference on the samples)")
-    p.add_argument("--lc-salient", type=int, default=0, metavar="K",
+    p.add_argument("--lc-salient", type=int, default=None, metavar="K",
                    help="thin the loop-closure VERIFY sweeps to K salient "
                    "pixels (+2 mandatory dense polish iterations; measured "
                    "to reproduce full-sweep accept/reject decisions within "
-                   "4%% — LoopClosureConfig.verify_salient_pixels)")
+                   "4%% — LoopClosureConfig.verify_salient_pixels; default "
+                   "16384 since round 4, pass 0 for full sweeps)")
     add_calib_args(p)
     args = p.parse_args(argv)
 
@@ -142,7 +143,7 @@ def main(argv=None):
                 config.dense, salient_pixels=args.salient, polish_iters=2
             ),
         )
-    if args.lc_salient:
+    if args.lc_salient is not None:
         config = dataclasses.replace(
             config,
             lc=dataclasses.replace(

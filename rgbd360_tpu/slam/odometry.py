@@ -435,6 +435,14 @@ class KeyframeSLAM(TrackerBase):
         from collections import deque
 
         self._pending: "deque" = deque()
+        # Multi-PROCESS runs must not consult `is_ready()` to decide
+        # whether to advance: readiness can differ between processes, and a
+        # diverging advancement schedule dispatches the event's COLLECTIVE
+        # programs (sharded scan, distributed PCG) on some processes but
+        # not others — an SPMD deadlock.  With deterministic polls every
+        # process advances exactly one phase per poll site (same frame
+        # stream -> same schedule), blocking on that phase's fetches.
+        self._deterministic_polls = jax.process_count() > 1
         # per-event dispatch counter (bench's dispatches_per_kf_event);
         # _poll_pending swaps in the advancing event's counter so every
         # dispatch attributes to the event that issued it
@@ -602,6 +610,12 @@ class KeyframeSLAM(TrackerBase):
         blocking on it — the reference's background LC thread semantics
         (`SLAM/SphereGraphSLAM.cpp:251-271` drains edges opportunistically).
         `block=True` runs the whole queue to completion (drain)."""
+        if self._deterministic_polls and not block:
+            # fixed schedule (see __init__): one phase per poll, no
+            # readiness checks — identical on every process
+            if self._pending:
+                self._advance_head()
+            return
         while self._pending:
             gen, waits, counter = self._pending[0]
             if waits and not block and not all(w.is_ready() for w in waits):

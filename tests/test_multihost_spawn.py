@@ -50,6 +50,10 @@ s = float(total(garr))
 assert s == 0 + 1 + 2 + 3, s  # saw every process's shard
 assert multihost.all_hosts_agree(s), "agreement check failed"
 print(f"proc {pid} OK sum={s}")
+# explicit shutdown right after the final sync: the implicit atexit
+# shutdown barrier fires at unpredictable interpreter-teardown time and
+# times out when the host is loaded (measured flake under the full suite)
+jax.distributed.shutdown()
 """
 
 
@@ -69,7 +73,7 @@ def test_two_process_distributed_psum(tmp_path):
     env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     procs = [
         subprocess.Popen(
-            [sys.executable, str(script), str(p), addr],
+            [sys.executable, "-u", str(script), str(p), addr],
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             env=env,
@@ -157,6 +161,8 @@ assert err < 5e-3, f"sharded-vs-single trajectory disagreement {err}"
 assert int(sharded.map.n_kf) == int(single.map.n_kf)
 assert multihost.all_hosts_agree(float(a.sum())), "processes diverged"
 print(f"proc {pid} TRACKER OK kf={int(sharded.map.n_kf)} err={err:.2e}")
+# explicit shutdown right after the final sync (see the psum worker note)
+jax.distributed.shutdown()
 """
 
 
@@ -181,7 +187,7 @@ def test_two_process_production_tracker(tmp_path):
     env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     procs = [
         subprocess.Popen(
-            [sys.executable, str(script), str(p), addr],
+            [sys.executable, "-u", str(script), str(p), addr],
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             env=env,
