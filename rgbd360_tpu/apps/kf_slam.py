@@ -15,8 +15,6 @@ from rgbd360_tpu.apps._common import add_calib_args, load_calib, save_trajectory
 
 
 def export_map(slam, outdir: Path, voxel: float = 0.05):
-    if hasattr(slam, "flush"):
-        slam.flush()  # apply any deferred keyframe-event work first
     """Write the map viewer's four view modes as files (reference
     `Map360_Visualizer` modes, `include/Map360_Visualizer.h:63-68`):
 
@@ -28,6 +26,8 @@ def export_map(slam, outdir: Path, voxel: float = 0.05):
     plus `trajectory.ply` / `trajectory_opt.ply` (tracked vs optimized
     poses, which the viewer overlays) and the checkpointable map state.
     """
+    if hasattr(slam, "flush"):
+        slam.flush()  # apply any deferred keyframe-event work first
     import jax.numpy as jnp
 
     from rgbd360_tpu.ops import camera, se3
@@ -159,9 +159,13 @@ def main(argv=None):
     for i, raw in enumerate(ds):
         ev = slam.process(raw)
         pose = slam.trajectory[-1]
+        # With async keyframe events (the default), ev's loop-closure stats
+        # are filled in on LATER frames as the deferred phases complete —
+        # so log the tracker's cumulative counter, which is always current.
+        lc_total = getattr(slam, "n_loop_closures", ev.get("loop_closures", 0))
         print(
             f"frame {ds.indices[i]}: kf={ev.get('keyframe')} "
-            f"lc={ev.get('loop_closures', 0)} t={np.round(pose[:3, 3], 3).tolist()}"
+            f"lc_total={lc_total} t={np.round(pose[:3, 3], 3).tolist()}"
         )
 
     if hasattr(slam, "flush"):

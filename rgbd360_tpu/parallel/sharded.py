@@ -253,43 +253,55 @@ def distributed_pose_graph(
 
 
 def _pcg_sharded(matvec, precond, b, iters, tol, axis):
-    """Preconditioned CG whose state vectors are sharded over `axis`.
+    """Pipelined (Chronopoulos–Gear) PCG whose state vectors are sharded
+    over `axis`.
 
-    Identical math to `slam.graph._pcg`, but the O(N) vector work splits
-    across the mesh instead of being replicated.  Scalar reductions are
-    batched: the (r.z, r.r) pair shares one psum, and the convergence test
-    reuses the carried r.r instead of issuing its own collective — so one CG
-    iteration costs exactly 4 collectives (all_gather x, psum_scatter y,
-    psum p.Hp, psum [r.z, r.r]); collective latency is what bounds PCG on a
-    real pod, so the count matters more than the bytes."""
+    The same restructured iteration AND the same M-norm stopping rule as
+    `slam.graph._pcg` (gamma = (r, M^-1 r) vs tol^2 * gamma_0), so the
+    single-device and sharded solvers terminate on the same criterion at
+    the same iteration counts — the dryrun's sharded-vs-single gate is not
+    absorbing a solver discrepancy.  Pipelining also pays on the mesh: the
+    two scalars the update needs (gamma and delta) come out of ONE fused
+    psum, and no separate p.Hp reduction exists, so a CG step costs exactly
+    3 collectives (all_gather x, psum_scatter y inside the matvec, psum
+    [gamma, delta]) where textbook PCG costs 4; collective latency is what
+    bounds PCG on a real pod, so the count matters more than the bytes."""
 
     def dots2(u1, v1, u2, v2):
         return jax.lax.psum(jnp.stack([jnp.sum(u1 * v1), jnp.sum(u2 * v2)]), axis)
 
     x = jnp.zeros_like(b)
     r = b
-    z = precond(r)
-    rz, b2 = dots2(r, z, b, b)
-    p = z
+    u = precond(r)
+    w = matvec(u)
+    gd = dots2(r, u, w, u)
+    gamma, delta = gd[0], gd[1]
+    alpha = gamma / jnp.maximum(delta, 1e-30)
+    g0 = gamma
 
     def body(carry):
-        x, r, p, rz, rr, it = carry
-        hp = matvec(p)
-        php = jax.lax.psum(jnp.sum(p * hp), axis)
-        alpha = rz / jnp.maximum(php, 1e-30)
+        x, r, u, w, p, s, gamma, alpha, it = carry
         x = x + alpha * p
-        r = r - alpha * hp
-        z = precond(r)
-        rz_new, rr_new = dots2(r, z, r, r)
-        beta = rz_new / jnp.maximum(rz, 1e-30)
-        p = z + beta * p
-        return x, r, p, rz_new, rr_new, it + 1
+        r = r - alpha * s
+        u_new = precond(r)
+        w_new = matvec(u_new)
+        gd = dots2(r, u_new, w_new, u_new)
+        gamma_new, delta = gd[0], gd[1]
+        beta = gamma_new / jnp.maximum(gamma, 1e-30)
+        alpha_new = gamma_new / jnp.maximum(
+            delta - beta * gamma_new / jnp.maximum(alpha, 1e-30), 1e-30
+        )
+        p = u_new + beta * p
+        s = w_new + beta * s
+        return x, r, u_new, w_new, p, s, gamma_new, alpha_new, it + 1
 
     def cond(carry):
-        _, _, _, _, rr, it = carry
-        return (it < iters) & (rr > tol * tol * b2)
+        gamma, it = carry[6], carry[8]
+        return (it < iters) & (gamma > tol * tol * jnp.maximum(g0, 1e-30))
 
-    x, _, _, _, _, n_it = jax.lax.while_loop(cond, body, (x, r, z, rz, b2, 0))
+    x, _, _, _, _, _, _, _, n_it = jax.lax.while_loop(
+        cond, body, (x, r, u, w, u, w, gamma, alpha, 0)
+    )
     return x, n_it
 
 

@@ -264,7 +264,15 @@ class Map360:
         cost ~6 device dispatches EACH, so the event's edge bookkeeping
         alone was tens of dispatches.  One program per batch size E (small
         ints, compile-cached) scatters them all.  `n_live` is the host-side
-        edge count (capacity check + scatter base)."""
+        edge count (capacity check + scatter base).
+
+        INVARIANT: when the batch contains duplicate (i, j) pairs (the
+        dense + PbMap promotion edges share a pair), every duplicate MUST
+        carry the same `ssos` value — the sso scatter uses `.at[i,j].set`,
+        and JAX scatter-set order over duplicate indices is unspecified, so
+        which duplicate lands is arbitrary.  All current callers pass the
+        matched-area SSO of the pair, which is pair-unique by construction.
+        """
         e_new = int(ij.shape[0])
         if e_new == 0:
             return self

@@ -828,7 +828,16 @@ class KeyframeSLAM(TrackerBase):
         """Process one raw rig capture.  The common healthy-tracking case
         runs ONE fused device dispatch (state + PbMap + motion-model-seeded
         dense solve, `_fused_track_fn`) and one result fetch; every other
-        case (first frame, lost, config mismatch) takes the split path."""
+        case (first frame, lost, config mismatch) takes the split path.
+
+        DEFERRED-COMPLETION SEMANTICS: with `async_kf_events=True` (the
+        default), the returned event dict for a keyframe frame is a LIVE
+        object — `loop_closures`, `connections`, `chi2`, `optimized` and
+        `kf_dispatches` are filled in retroactively on later frames as the
+        deferred event's phases complete (and by `flush()`).  A consumer
+        that needs per-frame-final numbers should read the aggregate
+        counters (`n_loop_closures`, `n_keyframes`) or inspect events only
+        after `flush()`; `self.events` keeps the same (mutating) dicts."""
         # NOTE: deferred keyframe-event phases advance in process_state
         # (AFTER this frame's fused fetch) — advancing here would queue
         # event programs in front of the tracked frame's dispatch on the
@@ -1381,6 +1390,7 @@ class KeyframeSLAM(TrackerBase):
                 self.map,
                 self.config.map.sso_partition_threshold,
                 sso=sso_f,
+                n_kf=self._n_kf_host,
             )
             from dataclasses import replace as _replace
 

@@ -87,15 +87,20 @@ def recursive_spectral_partition(
     return labels.astype(np.int32)
 
 
-def partition_map(map360, threshold: float = 0.8, min_size: int = 3, sso=None):
+def partition_map(
+    map360, threshold: float = 0.8, min_size: int = 3, sso=None, n_kf=None
+):
     """Repartition a Map360's live keyframes; returns (area ids (N,), count).
 
     Equivalent of `TopologicalMap360::Partitioner` + `ArrangeGraphSSO`
     (reference `TopologicalMap360.h:391-411,170-368`) — but since the SSO
     matrix is global and dense, no block rearrangement is needed; areas are
     just relabeled.  `sso`: optionally the ALREADY-FETCHED host SSO matrix
-    (the async keyframe event combines this fetch with the optimizer's)."""
-    n_kf = int(map360.n_kf)
+    (the async keyframe event combines this fetch with the optimizer's);
+    `n_kf`: optionally the host-mirrored live count, so a caller that
+    already tracks it (the tracker's `_n_kf_host`) avoids the blocking
+    device fetch — one tunnel round trip per partition on a remote chip."""
+    n_kf = int(map360.n_kf) if n_kf is None else int(n_kf)
     full = np.zeros(map360.area.shape[0], dtype=np.int32)
     if n_kf == 0:
         return full, 1

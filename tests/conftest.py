@@ -132,6 +132,15 @@ def calibration():
     )
 
 
-@pytest.fixture(scope="session")
-def rng():
-    return np.random.default_rng(0)
+@pytest.fixture()
+def rng(request):
+    """Per-test deterministic generator.
+
+    Seeded from the test's nodeid so each test's draw stream is independent
+    of execution order (the round-4 session-scoped fixture made the suite's
+    color depend on which tests consumed draws earlier — a lottery).
+    """
+    import zlib
+
+    seed = zlib.crc32(request.node.nodeid.encode("utf-8"))
+    return np.random.default_rng(seed)

@@ -11,7 +11,8 @@ from rgbd360_tpu.ops import pyramid as P
 
 
 @pytest.fixture(scope="module")
-def img(rng):
+def img():
+    rng = np.random.default_rng(7)
     return jnp.asarray(rng.uniform(0, 1, (320, 1920)).astype(np.float32))
 
 
