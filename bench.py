@@ -102,20 +102,29 @@ def _bench_pipeline(builder, raw1, raw2, cfg, aligner, trg_pyr, seam_valid):
     poses, errs = run(idx)  # compile + warm
     np.asarray(poses)
 
-    best = 0.0
-    for _ in range(3):
+    rates = []
+    for _ in range(5):
         t0 = time.time()
         poses, errs = run(idx)
         poses = np.asarray(poses)  # read back and consume EVERY frame's pose
         dt = time.time() - t0
         assert poses.shape == (n // BATCH, BATCH, 4, 4) and np.isfinite(poses).all()
-        best = max(best, n / dt)
-    return best
+        rates.append(n / dt)
+    rates = np.sort(np.asarray(rates))
+    return float(np.median(rates)), float(rates[-1] - rates[0])
 
 
-def _scan_time_ms(make_step, init_carry, k, consume):
-    """Median per-iteration ms of `make_step` chained k times inside one jit
-    (the carry dependency prevents elision; one readback per run)."""
+def _scan_time_ms(make_step, init_carry, k, consume, reps=5):
+    """Per-iteration ms of `make_step` chained k times inside one jit (the
+    carry dependency prevents elision; one readback per run).
+
+    Returns (median_ms, spread_ms, min_ms) over `reps` timed runs.  Round-4
+    verdict: single-shot (best-of-3) stage timings on a tunneled chip vary
+    up to 67% run-to-run and cannot support floor-fraction comparisons or
+    regression detection — every stage now reports its median AND the
+    max-min spread of the same run, so two bench runs can be judged
+    "agreeing within spread".  `min_ms` serves the chain-floor measurements
+    (a latency floor wants the fastest clean observation)."""
 
     @jax.jit
     def run(carry):
@@ -124,13 +133,14 @@ def _scan_time_ms(make_step, init_carry, k, consume):
 
     out = run(init_carry)  # compile + warm
     jax.block_until_ready(out)
-    best = np.inf
-    for _ in range(3):
+    ts = []
+    for _ in range(reps):
         t0 = time.time()
         out = run(init_carry)
         consume(out)
-        best = min(best, (time.time() - t0) / k)
-    return best * 1000.0
+        ts.append((time.time() - t0) / k * 1000.0)
+    ts = np.sort(np.asarray(ts))
+    return float(np.median(ts)), float(ts[-1] - ts[0]), float(ts[0])
 
 
 def _pyramid_floor_ms(h, w, levels):
@@ -203,7 +213,7 @@ def _tiny_chain_floors(builder, cfg):
 
     floors["seg"] = _scan_time_ms(
         seg_step, tiny_xyz, 32, lambda o: np.asarray(o)
-    )
+    )[2]
 
     # pyramid: same per-level chain on a 64x384 sphere (1/25th the pixels)
     tiny_g = jnp.zeros((64, 384), jnp.float32)
@@ -213,7 +223,9 @@ def _tiny_chain_floors(builder, cfg):
         pyr = D.build_frame_pyramid(carry, tiny_d, cfg)
         return carry + pyr.gray[-1][0, 0] * 0
 
-    floors["pyr"] = _scan_time_ms(pyr_step, tiny_g, 32, lambda o: np.asarray(o))
+    floors["pyr"] = _scan_time_ms(
+        pyr_step, tiny_g, 32, lambda o: np.asarray(o)
+    )[2]
 
     # pose-graph solvers: ONE LM iteration on an 8-KF ring (the inner CG
     # runs its full 100 iterations — cg_tol=0 — so the chain is identical
@@ -246,10 +258,10 @@ def _tiny_chain_floors(builder, cfg):
     floors["pcg_per_lm_iter"] = _scan_time_ms(
         mk_step(optimize_pose_graph_pcg, cg_tol=0.0), g8.poses, 8,
         lambda o: np.asarray(o),
-    )
+    )[2]
     floors["dense_lm_per_iter"] = _scan_time_ms(
         mk_step(optimize_pose_graph), g8.poses, 8, lambda o: np.asarray(o)
-    )
+    )[2]
     return floors
 
 
@@ -274,9 +286,12 @@ def _bench_stages(builder, raw1, raw2, cfg, aligner, trg_pyr, seam_valid):
         )
         return carry + 1 + (sg[0, 0, 0] * 0).astype(jnp.int32)
 
-    build_ms = _scan_time_ms(build_step, jnp.int32(0), 32, lambda o: np.asarray(o))
+    build_ms, build_sp, _ = _scan_time_ms(
+        build_step, jnp.int32(0), 32, lambda o: np.asarray(o)
+    )
     stages["frame_build"] = {
         "value": round(build_ms, 3),
+        "spread_ms": round(build_sp, 3),
         "unit": "ms/frame",
         "attribution": (
             "614k-row stitch gather at the ~5 ns/row TPU gather latency "
@@ -296,13 +311,16 @@ def _bench_stages(builder, raw1, raw2, cfg, aligner, trg_pyr, seam_valid):
         pyr = D.build_frame_pyramid(carry, f1.sphere_depth, cfg, seam_valid)
         return carry + pyr.gray[-1][0, 0] * 0
 
-    pyr_ms = _scan_time_ms(pyr_step, f1.sphere_gray, 32, lambda o: np.asarray(o))
+    pyr_ms, pyr_sp, _ = _scan_time_ms(
+        pyr_step, f1.sphere_gray, 32, lambda o: np.asarray(o)
+    )
     pyr_floor = max(
         _pyramid_floor_ms(sph_cfg.height, sph_cfg.width, cfg.pyramid_levels),
         chain["pyr"],
     )
     stages["pyramid_build"] = {
         "value": round(pyr_ms, 3),
+        "spread_ms": round(pyr_sp, 3),
         "unit": "ms/frame",
         "attribution": (
             "banded-matmul pyrDown + 0/1-matmul depth block sums (MXU, zero "
@@ -329,7 +347,7 @@ def _bench_stages(builder, raw1, raw2, cfg, aligner, trg_pyr, seam_valid):
 
     # k=32: at k=8 the harness tunnel's fixed ~30 ms dispatch+readback
     # round trip leaked ~4 ms/frame into this row
-    seg_ms = _scan_time_ms(
+    seg_ms, seg_sp, _ = _scan_time_ms(
         seg_step, sph1.local_xyz, 32, lambda o: np.asarray(o)
     )
     s_, hc, wc = sph1.cloud_valid.shape
@@ -341,6 +359,7 @@ def _bench_stages(builder, raw1, raw2, cfg, aligner, trg_pyr, seam_valid):
     )
     stages["segmentation"] = {
         "value": round(seg_ms, 3),
+        "spread_ms": round(seg_sp, 3),
         "unit": "ms/frame",
         "attribution": (
             "banded-matmul normal blur (round 3: was a 2.5 ms cumsum scan "
@@ -367,9 +386,11 @@ def _bench_stages(builder, raw1, raw2, cfg, aligner, trg_pyr, seam_valid):
         )(carry)
         return carry + ps.area[0, 0] * 0
 
-    seg4_ms = _scan_time_ms(seg4_step, lx4, 16, lambda o: np.asarray(o)) / BATCH
+    seg4_ms, seg4_sp, _ = _scan_time_ms(seg4_step, lx4, 16, lambda o: np.asarray(o))
+    seg4_ms, seg4_sp = seg4_ms / BATCH, seg4_sp / BATCH
     stages["segmentation_batch4"] = {
         "value": round(seg4_ms, 3),
+        "spread_ms": round(seg4_sp, 3),
         "unit": "ms/frame",
         "attribution": (
             "segment_planes vmapped over a 4-frame batch — measured NO "
@@ -411,9 +432,10 @@ def _bench_stages(builder, raw1, raw2, cfg, aligner, trg_pyr, seam_valid):
         poses = jax.vmap(one)(pyr_b)
         return carry + poses[0, 0, 0] * 0 + ps.area[0, 0] * 0
 
-    fe_ms = _scan_time_ms(
+    fe_ms, fe_sp, _ = _scan_time_ms(
         frontend_step, jnp.float32(0), 8, lambda o: np.asarray(o)
-    ) / BATCH
+    )
+    fe_ms, fe_sp = fe_ms / BATCH, fe_sp / BATCH
     fe_floor = (
         (sphere_rows / BATCH + sphere_rows / 4) * GATHER_MS_PER_ROW
         + max(seg_hbm, chain["seg"] / BATCH)
@@ -421,6 +443,8 @@ def _bench_stages(builder, raw1, raw2, cfg, aligner, trg_pyr, seam_valid):
     )
     stages["frontend_batch4"] = {
         "value": round(1000.0 / fe_ms, 3),
+        "ms_per_frame": round(fe_ms, 3),
+        "spread_ms": round(fe_sp, 3),
         "unit": "frames/sec/chip (build+segment+pyramid+align)",
         "attribution": (
             "the COMPLETE per-frame SLAM frontend batched by 4: full build "
@@ -450,7 +474,9 @@ def _bench_stages(builder, raw1, raw2, cfg, aligner, trg_pyr, seam_valid):
         # feed the solved pose back as the next seed: a real dependency
         return res.pose
 
-    align_ms = _scan_time_ms(align_step, jnp.eye(4), 32, lambda o: np.asarray(o))
+    align_ms, align_sp, _ = _scan_time_ms(
+        align_step, jnp.eye(4), 32, lambda o: np.asarray(o)
+    )
     # rows actually gathered: (iters + 1 converged re-eval) sweeps per level
     res_probe = dense_al._align_impl(src_pyr, trg_pyr, jnp.eye(4), D.PHOTO_DEPTH)
     iters = np.asarray(res_probe.iters)
@@ -463,6 +489,7 @@ def _bench_stages(builder, raw1, raw2, cfg, aligner, trg_pyr, seam_valid):
     )
     stages["dense_align"] = {
         "value": round(align_ms, 3),
+        "spread_ms": round(align_sp, 3),
         "unit": "ms/align",
         "attribution": (
             "GN sweeps are per-row gather-latency-bound (flat-index target "
@@ -541,14 +568,20 @@ def _bench_stages(builder, raw1, raw2, cfg, aligner, trg_pyr, seam_valid):
     ):
         out = fn(graph, iters_n)  # compile + warm
         jax.block_until_ready(out[0])
-        reps, t0 = 3, time.time()
-        for _ in range(reps):
+        rates = []
+        for _ in range(5):
+            t0 = time.time()
             out = fn(graph, iters_n)
-        jax.block_until_ready(out[0])
-        n_it = max(int(out[2]), 1)
-        rate = reps * n_it / (time.time() - t0)
+            jax.block_until_ready(out[0])
+            n_it = max(int(out[2]), 1)
+            rates.append(n_it / (time.time() - t0))
+        rates = np.sort(np.asarray(rates))
+        rate = float(np.median(rates))
         stages[name] = {
             "value": round(rate, 3),
+            "spread_ms": round(
+                1000.0 / rates[0] - 1000.0 / rates[-1], 3
+            ),
             "unit": f"LM iters/sec ({n_v} KF, {n_e} edges)",
             "attribution": (
                 "dense (N,N,6,6) assembly + one MXU solve per iter"
@@ -682,6 +715,97 @@ def _bench_slam_frontend(builder, stages):
     return stages
 
 
+def _self_check(stages: dict) -> list:
+    """Internal-consistency gate (round-4 verdict: segmentation_batch4
+    reported 7.11 ms/frame while frontend_batch4 — whose program CONTAINS
+    the same vmapped segmentation — reported 4.38 ms/frame total, and
+    nobody noticed).  A component must not out-cost its composite beyond
+    the two measurements' combined run-to-run spread; violations are
+    recorded in the summary (and the compact line) so they are
+    machine-visible, never silently published."""
+    out = []
+
+    def check(comp_name, comp_ms, comp_sp, composite_name, total_ms, total_sp):
+        tol = comp_sp + total_sp + 0.05 * total_ms
+        if comp_ms > total_ms + tol:
+            out.append(
+                {
+                    "component": comp_name,
+                    "component_ms": round(comp_ms, 3),
+                    "composite": composite_name,
+                    "composite_ms": round(total_ms, 3),
+                    "tolerance_ms": round(tol, 3),
+                }
+            )
+
+    fe = stages.get("frontend_batch4")
+    s4 = stages.get("segmentation_batch4")
+    if fe and s4:
+        check(
+            "segmentation_batch4", s4["value"], s4.get("spread_ms", 0.0),
+            "frontend_batch4", fe["ms_per_frame"], fe.get("spread_ms", 0.0),
+        )
+    return out
+
+
+def _write_baseline_section(summary: dict) -> None:
+    """Regenerate BASELINE.md's auto-measured table from THE SAME summary
+    the bench just emitted (round-4 verdict: the hand-written BASELINE
+    table and the driver's scoring artifact disagreed by up to 67% because
+    they came from different runs).  The section lives between sentinel
+    comments; everything else in BASELINE.md is left untouched."""
+    import pathlib
+
+    path = pathlib.Path(__file__).with_name("BASELINE.md")
+    if not path.exists():
+        return
+    begin, end = "<!-- BENCH_AUTO_BEGIN -->", "<!-- BENCH_AUTO_END -->"
+    rows = [
+        "| Stage | Value (median) | Spread | Floor fraction |",
+        "|---|---|---|---|",
+    ]
+    for name, st in summary["stages"].items():
+        sp = st.get("spread_ms", st.get("spread_fps"))
+        sp_s = "—" if sp is None else f"{sp}"
+        frac = st.get("bound", {}).get("achieved_fraction", "—")
+        rows.append(f"| {name} | {st['value']} {st['unit']} | {sp_s} | {frac} |")
+    sf = summary["stages"].get("slam_frontend", {})
+    extra = ""
+    if sf:
+        extra = (
+            f"\nTracker detail: median tracked {sf.get('median_tracked_ms')} ms, "
+            f"median keyframe FRAME {sf.get('median_keyframe_ms')} ms, p99 gap "
+            f"{sf.get('p99_gap_ms')} ms, {sf.get('dispatches_per_kf_event')} "
+            f"dispatches/KF event, tunnel round trip "
+            f"{sf.get('tunnel_roundtrip_ms')} ms, tracked fps net of tunnel "
+            f"{sf.get('tracked_fps_net_of_tunnel')}.\n"
+        )
+    cons = summary.get("consistency", [])
+    cons_s = (
+        "All component-vs-composite self-checks passed."
+        if not cons
+        else f"CONSISTENCY VIOLATIONS: {json.dumps(cons)}"
+    )
+    section = (
+        f"{begin}\n"
+        f"### Auto-measured table (regenerated by every `bench.py` run; "
+        f"spreads are max-min over >=5 timed repeats)\n\n"
+        f"Headline: {summary['value']} {summary['unit']} "
+        f"({summary['vs_baseline']}x the measured CPU proxy baseline of "
+        f"{REF_CPU_FPS} fps).  Full detail: `BENCH_DETAIL.json`.\n\n"
+        + "\n".join(rows)
+        + "\n" + extra + "\n" + cons_s + "\n" + end
+    )
+    text = path.read_text()
+    if begin in text and end in text:
+        pre = text.split(begin)[0]
+        post = text.split(end)[1]
+        text = pre + section + post
+    else:
+        text = text.rstrip() + "\n\n## Measured (auto, latest bench run)\n\n" + section + "\n"
+    path.write_text(text)
+
+
 def compact_line(summary: dict, limit: int = 1500) -> str:
     """The ONE stdout JSON line, kept compact: the driver records only the
     LAST ~2000 chars of output, and round 3's full-detail line (4.6 kB)
@@ -695,11 +819,14 @@ def compact_line(summary: dict, limit: int = 1500) -> str:
         "unit": summary["unit"],
         "vs_baseline": summary["vs_baseline"],
         "chip_utilization": summary["chip_utilization"],
+        "consistency_violations": len(summary.get("consistency", [])),
         "detail": "BENCH_DETAIL.json",
         "stages": {},
     }
     for name, st in summary["stages"].items():
         e = {"value": st["value"]}
+        if "spread_ms" in st:
+            e["sp"] = st["spread_ms"]
         if "bound" in st:
             e["frac"] = st["bound"]["achieved_fraction"]
         for k in (
@@ -755,7 +882,9 @@ def main() -> None:
     seam = stitch_ops.seam_mask_from_maps(builder.maps, 1)
     seam_valid = D.seam_masks_per_level(seam, cfg.pyramid_levels)
 
-    fps = _bench_pipeline(builder, raw1, raw2, cfg, aligner, trg_pyr, seam_valid)
+    fps, fps_spread = _bench_pipeline(
+        builder, raw1, raw2, cfg, aligner, trg_pyr, seam_valid
+    )
     stages = _bench_stages(builder, raw1, raw2, cfg, aligner, trg_pyr, seam_valid)
     sph = builder.config.sphere
     pipe_ms = 1000.0 / fps
@@ -767,6 +896,7 @@ def main() -> None:
     ) * GATHER_MS_PER_ROW
     stages["pipeline_batch4"] = {
         "value": round(fps, 3),
+        "spread_fps": round(fps_spread, 3),
         "unit": "frames/sec/chip",
         "attribution": (
             "one calibration-fixed row gather stitches all 4 frames; "
@@ -778,6 +908,7 @@ def main() -> None:
         ),
     }
     stages = _bench_slam_frontend(builder, stages)
+    consistency = _self_check(stages)
 
     summary = {
         "metric": "registration_pipeline_fps",
@@ -787,6 +918,7 @@ def main() -> None:
         "chip_utilization": stages["pipeline_batch4"]["bound"][
             "achieved_fraction"
         ],
+        "consistency": consistency,
         "stages": stages,
     }
     import pathlib
@@ -794,6 +926,7 @@ def main() -> None:
     pathlib.Path(__file__).with_name("BENCH_DETAIL.json").write_text(
         json.dumps(summary, indent=1)
     )
+    _write_baseline_section(summary)
     print(compact_line(summary))
 
 

@@ -292,6 +292,19 @@ class KeyframeConfig:
     # tunnel round trips.  False = run the whole event synchronously inside
     # the keyframe frame (bit-identical map, simpler timing).
     async_kf_events: bool = True
+    # MULTI-PROCESS poll cadence: with >1 process, poll sites cannot consult
+    # `is_ready()` (readiness diverges across processes and desynchronizes
+    # collective dispatch order — an SPMD deadlock, round 4).  Round 4's
+    # deterministic schedule advanced one phase at EVERY poll site, blocking
+    # on each phase's fetches and re-serializing the pipeline; instead the
+    # head event now advances only every Nth poll site (counter-keyed, so
+    # every process advances at identical points in the frame stream),
+    # giving each phase's dispatches N-1 poll intervals of tracked-frame
+    # overlap to complete before the blocking fetch.  ~2 poll sites run per
+    # frame; an event has ~4-6 phases.  1 = advance every poll (the round-4
+    # schedule).  Ignored in single-process runs (readiness checks are
+    # cheaper and non-hazardous there).
+    det_poll_cadence: int = 3
 
 
 @dataclass(frozen=True)

@@ -143,6 +143,46 @@ def build_pyramid(img: jnp.ndarray, levels: int) -> list[jnp.ndarray]:
     return pyr
 
 
+@functools.lru_cache(maxsize=None)
+def _level_down_mats(h: int, w: int):
+    """Channel-stacked level-transition matrices: channel 0 carries the
+    binomial blur+decimate (gray), channels 1-2 the 2x2 block sum (depth
+    sum + valid count), so ONE batched matmul sandwich advances gray AND
+    depth a pyramid level (see `fused_level_down`)."""
+    a_blur, b_blur = _blur_decim_mats(h, w)
+    a_box, b_box = _box_sum_mats(h, w)
+    a = np.stack([a_blur, a_box, a_box])  # (3, h/2, h)
+    b = np.stack([b_blur, b_box, b_box])  # (3, w, w/2)
+    return a, b
+
+
+def fused_level_down(
+    gray: jnp.ndarray,
+    depth: jnp.ndarray,
+    min_depth: float,
+    max_depth: float,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """One pyramid level transition for gray AND depth in TWO batched MXU
+    matmuls (instead of 6 separate ones: 2 gray blur + 4 depth sum/count).
+
+    The pyramid stage is bound by its sequential kernel chain, not
+    arithmetic (docs/PERFORMANCE.md round 4: 2.7-4.6 ms measured vs a
+    ~0.9 ms chain floor) — the lever is kernel COUNT.  Channel-stacking the
+    three sandwiches into one `cij,cjk->cik` batched dot_general preserves
+    the exact contraction order per channel, so results are bit-identical
+    to `pyr_down` / `pyr_down_depth` (tested)."""
+    h, w = gray.shape
+    a, b = _level_down_mats(h, w)
+    valid = (depth > min_depth) & (depth < max_depth)
+    x = jnp.stack(
+        [gray, jnp.where(valid, depth, 0.0), valid.astype(gray.dtype)]
+    )
+    half = jnp.einsum("cij,cjk->cik", jnp.asarray(a), x, precision=_HI)
+    out = jnp.einsum("cik,ckl->cil", half, jnp.asarray(b), precision=_HI)
+    n = out[2]
+    return out[0], jnp.where(n > 0.5, out[1] / jnp.maximum(n, 1.0), 0.0)
+
+
 def build_depth_pyramid(
     depth: jnp.ndarray, levels: int, min_depth: float = 0.3, max_depth: float = 20.0
 ) -> list[jnp.ndarray]:
@@ -183,6 +223,31 @@ def gradient_xy(
         return jnp.where(interior.reshape(shape), g, 0.0)
 
     return _axis_grad(img, 1), _axis_grad(img, 0)
+
+
+def gradient_xy_multi(imgs: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """`gradient_xy` over a stacked (..., H, W) channel batch in TWO fused
+    elementwise kernels (one per axis) instead of two per channel — the
+    pyramid stage's binding resource is kernel-chain length, and gray+depth
+    gradients at each level are independent elementwise maps over the same
+    shape, so stacking costs nothing and halves the chain."""
+
+    def _axis_grad(a, axis):
+        fwd = jnp.roll(a, -1, axis=axis) - a
+        bwd = a - jnp.roll(a, 1, axis=axis)
+        monotonic = ((fwd > 0) & (bwd > 0)) | ((fwd < 0) & (bwd < 0))
+        denom = jnp.where(
+            monotonic, 1.0 / jnp.where(fwd == 0, 1e-12, fwd), 0.0
+        ) + jnp.where(monotonic, 1.0 / jnp.where(bwd == 0, 1e-12, bwd), 0.0)
+        g = jnp.where(monotonic, 2.0 / jnp.where(denom == 0, 1e-12, denom), 0.0)
+        n = a.shape[axis]
+        idx = jnp.arange(n)
+        interior = (idx > 0) & (idx < n - 1)
+        shape = [1] * a.ndim
+        shape[axis] = n
+        return jnp.where(interior.reshape(shape), g, 0.0)
+
+    return _axis_grad(imgs, imgs.ndim - 1), _axis_grad(imgs, imgs.ndim - 2)
 
 
 def mask_seams(grad: jnp.ndarray, num_sensors: int = 8, half_width: int = 1) -> jnp.ndarray:

@@ -122,14 +122,45 @@ def build_frame_pyramid(
     """
     if seam_valid is not None and not isinstance(seam_valid, (tuple, list)):
         seam_valid = seam_masks_per_level(seam_valid, cfg.pyramid_levels)
-    grays = pyr_ops.build_pyramid(gray, cfg.pyramid_levels)
-    depths = pyr_ops.build_depth_pyramid(
-        depth, cfg.pyramid_levels, cfg.min_depth, cfg.max_depth
-    )
+    # Level transitions: gray + depth advance together in ONE batched
+    # matmul sandwich per level (bit-identical to the split pyr_down /
+    # pyr_down_depth pair; the stage is kernel-chain-bound — round-5
+    # pyramid fusion, docs/PERFORMANCE.md).  Odd shapes fall back.
+    grays = [gray]
+    depths = [depth]
+    for _ in range(cfg.pyramid_levels - 1):
+        g_c, d_c = grays[-1], depths[-1]
+        h, w = g_c.shape
+        if h % 2 == 0 and w % 2 == 0 and h >= 6 and w >= 6:
+            g2, d2 = pyr_ops.fused_level_down(
+                g_c, d_c, cfg.min_depth, cfg.max_depth
+            )
+        else:
+            g2 = pyr_ops.pyr_down(g_c)
+            d2 = pyr_ops.pyr_down_depth(d_c, cfg.min_depth, cfg.max_depth)
+        grays.append(g2)
+        depths.append(d2)
     ggx, ggy, dgx, dgy = [], [], [], []
     for lvl in range(cfg.pyramid_levels):
-        gx, gy = pyr_ops.gradient_xy(grays[lvl], allow_pallas)
-        hx, hy = pyr_ops.gradient_xy(depths[lvl], allow_pallas)
+        from rgbd360_tpu.ops import pallas_kernels as K
+
+        g_l, d_l = grays[lvl], depths[lvl]
+        if (
+            allow_pallas
+            and K.use_pallas()
+            and g_l.shape[0] % 16 == 0
+            and g_l.shape[1] % 128 == 0
+        ):
+            # the halo-DMA Pallas kernel (level 0 shapes) is already one
+            # fused pass per image
+            gx, gy = K.fused_gradients(g_l, 16)
+            hx, hy = K.fused_gradients(d_l, 16)
+        else:
+            # gray + depth gradients in one stacked elementwise pass per
+            # axis (2 kernels/level instead of 4 — chain-bound stage)
+            sx, sy = pyr_ops.gradient_xy_multi(jnp.stack([g_l, d_l]))
+            gx, hx = sx[0], sx[1]
+            gy, hy = sy[0], sy[1]
         if seam_valid is not None:
             m = seam_valid[lvl].astype(gx.dtype)
             m = m[: gx.shape[0], : gx.shape[1]]

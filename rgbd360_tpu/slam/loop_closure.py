@@ -222,12 +222,30 @@ class LoopCloser:
         query_kf: int,
         exclude_recent: int = 2,
         max_dense_checks: int | None = None,
+        n_kf_snapshot: int | None = None,
+        n_edges_snapshot: int | None = None,
     ):
         """Dispatch gate + batch plane match + top-k select; returns the
-        (top_idx, top_ok, top_pose) DEVICE arrays without fetching."""
+        (top_idx, top_ok, top_pose) DEVICE arrays without fetching.
+
+        `n_kf_snapshot` / `n_edges_snapshot`: keyframe/edge counts at the
+        EVENT's creation.  A deferred event's scan may run after later
+        keyframes joined the map; recency gating already excludes them as
+        candidates, but the representative-mask and area-adjacency helpers
+        would otherwise see the larger set and diverge from the
+        synchronous pipeline (round-5 pbmap sync/async equivalence) — the
+        caps restore the exact snapshot the sync scan sees."""
         lc_cfg = self.config.lc
         if max_dense_checks is None:
             max_dense_checks = lc_cfg.max_dense_checks
+        n_kf = map360.n_kf
+        emask = map360.graph.emask
+        if n_kf_snapshot is not None:
+            n_kf = jnp.minimum(n_kf, jnp.int32(n_kf_snapshot))
+        if n_edges_snapshot is not None:
+            emask = emask & (
+                jnp.arange(emask.shape[0]) < jnp.int32(n_edges_snapshot)
+            )
         if self.mesh is None:
             if not hasattr(self, "_scan_select"):
                 self._scan_select = jax.jit(
@@ -238,12 +256,12 @@ class LoopCloser:
                 query_planes,
                 map360.planes,
                 map360.opt_poses,
-                map360.n_kf,
+                n_kf,
                 map360.area,
                 map360.n_areas,
                 map360.sso,
                 map360.graph.edges_ij,
-                map360.graph.emask,
+                emask,
                 jnp.asarray(query_pose),
                 jnp.asarray(query_kf),
                 jnp.asarray(exclude_recent),
@@ -253,8 +271,12 @@ class LoopCloser:
                 area_gating=bool(lc_cfg.area_gating),
                 k=max_dense_checks,
             )
-        gate = candidate_gate(
-            map360, query_pose, query_kf, exclude_recent, lc_cfg
+        gate = _gate_kernel(
+            map360.opt_poses, n_kf, map360.area, map360.n_areas,
+            map360.sso, map360.graph.edges_ij, emask,
+            jnp.asarray(query_pose), jnp.asarray(query_kf),
+            jnp.asarray(exclude_recent), jnp.asarray(lc_cfg.search_radius),
+            area_gating=bool(lc_cfg.area_gating),
         )
         n_m, area, pose, info, obs = self._batch_match(
             query_planes, map360.planes, gate

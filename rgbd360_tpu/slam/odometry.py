@@ -101,6 +101,111 @@ class TrackerBase:
         # Stage taxonomy as first-class named trace regions (the reference's
         # ad-hoc per-stage timers, SURVEY 5.1); `print(tracker.timer.report())`
         self.timer = StageTimer()
+        # ---- deferred keyframe-event engine (shared by KeyframeSLAM and
+        # PbMapGraphSLAM — the reference's background LC thread redesigned
+        # on JAX async dispatch, `include/LoopClosure360.h:93`): a FIFO of
+        # (generator, waits, counter) advanced HEAD-ONLY between frames.
+        # Head-only advancement serializes event programs (no two events'
+        # phases interleave, and every event's phase A observes its
+        # predecessors' applied effects) while letting a new keyframe
+        # ENQUEUE its event instead of draining the previous one.
+        from collections import deque
+
+        self._pending: "deque" = deque()
+        # Multi-PROCESS runs must not consult `is_ready()` to decide
+        # whether to advance: readiness can differ between processes, and a
+        # diverging advancement schedule dispatches the event's COLLECTIVE
+        # programs (sharded scan, distributed PCG) on some processes but
+        # not others — an SPMD deadlock.  With deterministic polls every
+        # process advances exactly one phase per poll site (same frame
+        # stream -> same schedule), blocking on that phase's fetches.
+        self._deterministic_polls = jax.process_count() > 1
+        # poll-site counter for the deterministic cadence (see
+        # `KeyframeConfig.det_poll_cadence`): identical frame stream ->
+        # identical counter -> identical advancement points on every process
+        self._poll_counter = 0
+        # per-event dispatch counter (bench's dispatches_per_kf_event);
+        # _poll_pending swaps in the advancing event's counter so every
+        # dispatch attributes to the event that issued it
+        self._cur_counter = [0]
+        self.kf_event_dispatches: list[int] = []
+
+    # ------------------------------------------------ deferred event engine
+
+    def _nd(self, n: int = 1) -> None:
+        """Count one device-program dispatch of the active keyframe event
+        (the bench's dispatches_per_kf_event; the tracked frame's equivalent
+        counter drove that path to 1).  Counts framework-level program
+        invocations: each jitted call or batched map update is 1."""
+        self._cur_counter[0] += n
+
+    def _event_backpressure(self) -> None:
+        """Bound the in-flight keyframe-event queue at 2: when keyframes
+        cluster faster than events complete, drain the HEAD first (the
+        reference LC thread's queue grows the same way and is processed
+        serially).  A looser phase-wise drain (cap 3) was measured in round
+        5 to compound event staleness enough that partitions/optimized
+        poses lagged several keyframes and the LC search got area-gated off
+        entire loops — the tighter bound keeps worst-case staleness at one
+        event.  Deterministic (queue-length-keyed), so multi-process runs
+        advance identically."""
+        while len(self._pending) >= 2:
+            self._advance_head()
+
+    def _poll_pending(self, block: bool = False) -> None:
+        """Advance the deferred keyframe-event queue, HEAD event only.
+
+        Each phase of an event generator dispatches device programs and
+        yields their un-fetched arrays; this advances to the next phase
+        when those arrays are READY (fetch then costs ~one tunnel round
+        trip, no device wait), so tracked frames interleave with the event
+        instead of blocking on it — the reference's background LC thread
+        semantics (`SLAM/SphereGraphSLAM.cpp:251-271` drains edges
+        opportunistically).  `block=True` runs the whole queue to
+        completion (drain)."""
+        if self._deterministic_polls and not block:
+            # fixed schedule (see __init__): advance one phase every
+            # `det_poll_cadence`-th poll site, no readiness checks —
+            # identical on every process.  The cadence gives each phase's
+            # dispatches tracked-frame overlap to complete before the
+            # blocking fetch (round-4's every-poll schedule re-serialized
+            # the pipeline; VERDICT r4 #6).
+            self._poll_counter += 1
+            cadence = max(1, getattr(self.config.kf, "det_poll_cadence", 1))
+            if self._pending and self._poll_counter % cadence == 0:
+                self._advance_head()
+            return
+        while self._pending:
+            gen, waits, counter = self._pending[0]
+            if waits and not block and not all(w.is_ready() for w in waits):
+                return
+            self._advance_head()
+
+    def _advance_head(self) -> None:
+        """Resume the head event's generator one phase (fetches inside it
+        block until their arrays are ready), attributing its dispatches to
+        its own counter."""
+        gen, waits, counter = self._pending[0]
+        saved = self._cur_counter
+        self._cur_counter = counter
+        try:
+            try:
+                waits = jax.tree_util.tree_leaves(next(gen))
+                self._pending[0] = (gen, waits, counter)
+            except StopIteration:
+                self._pending.popleft()
+        finally:
+            self._cur_counter = saved
+
+    def _drain_pending(self) -> None:
+        """Run any deferred keyframe event to completion (map readers and
+        the next keyframe event need the fully-applied map)."""
+        self._poll_pending(block=True)
+
+    def flush(self) -> None:
+        """Public drain: call before reading `map`, `optimized_trajectory`
+        or exporting — applies any still-deferred keyframe-event work."""
+        self._drain_pending()
 
     def make_state(self, raw) -> FrameState:
         """Per-frame tracking state in ONE device dispatch (build + pyramid
@@ -424,30 +529,9 @@ class KeyframeSLAM(TrackerBase):
         self._n_kf_host = 0
         self._n_edges_host = 0
         self._area_host: list[int] = []
-        # deferred keyframe-event pipeline (reference background LC thread,
-        # `include/LoopClosure360.h:93` — redesigned on JAX async dispatch):
-        # a FIFO of (generator, waits, counter) advanced HEAD-ONLY by
-        # `_poll_pending` between frames.  Head-only advancement serializes
-        # event programs (no two events' phases interleave) while letting a
-        # new keyframe ENQUEUE its event instead of draining the previous
-        # one — the reference's LC thread queues new keyframes the same way
-        # (`LoopClosure360.h:108` run loop).  Bounded at 2 in flight.
-        from collections import deque
-
-        self._pending: "deque" = deque()
-        # Multi-PROCESS runs must not consult `is_ready()` to decide
-        # whether to advance: readiness can differ between processes, and a
-        # diverging advancement schedule dispatches the event's COLLECTIVE
-        # programs (sharded scan, distributed PCG) on some processes but
-        # not others — an SPMD deadlock.  With deterministic polls every
-        # process advances exactly one phase per poll site (same frame
-        # stream -> same schedule), blocking on that phase's fetches.
-        self._deterministic_polls = jax.process_count() > 1
-        # per-event dispatch counter (bench's dispatches_per_kf_event);
-        # _poll_pending swaps in the advancing event's counter so every
-        # dispatch attributes to the event that issued it
-        self._cur_counter = [0]
-        self.kf_event_dispatches: list[int] = []
+        # (deferred keyframe-event engine state — FIFO, poll schedule,
+        # dispatch counters — initialized by TrackerBase, shared with
+        # PbMapGraphSLAM)
         self.pose = np.eye(4)  # current frame world pose
         self.trajectory: list[np.ndarray] = []
         self.lost = False
@@ -493,6 +577,7 @@ class KeyframeSLAM(TrackerBase):
         self._n_edges_host = 0
         self._area_host = []
         self._pending.clear()
+        self._poll_counter = 0
         self._cur_counter = [0]
         self.kf_event_dispatches = []
         self.pose = np.eye(4)
@@ -517,14 +602,7 @@ class KeyframeSLAM(TrackerBase):
         return self._opt_poses_host[k]
 
     def _add_keyframe(self, state: FrameState, pose: np.ndarray) -> int:
-        # at most 2 keyframe events in flight: when keyframes cluster
-        # faster than events complete, drain the HEAD first (the reference
-        # LC thread's queue grows the same way and is processed serially);
-        # otherwise promotion only ENQUEUES — it never blocks on the
-        # previous event (round-4 measured: the drain was the keyframe
-        # frame's remaining stall)
-        while len(self._pending) >= 2:
-            self._advance_head()
+        self._event_backpressure()
         self._cur_counter = [0]  # dispatches_per_kf_event starts here
         k = self._n_kf_host
         # a new keyframe joins its tracking parent's topological area; the
@@ -591,62 +669,170 @@ class KeyframeSLAM(TrackerBase):
         self._n_edges_host += len(edges)
         self._edge_set.update((int(i), int(j)) for i, j in ij)
 
-    # ------------------------------------------------ deferred event engine
+    # --------------------------------------------------- fused promotion
 
-    def _nd(self, n: int = 1) -> None:
-        """Count one device-program dispatch of the active keyframe event
-        (the bench's dispatches_per_kf_event; the tracked frame's equivalent
-        counter drove that path to 1).  Counts framework-level program
-        invocations: each jitted call or batched map update is 1."""
-        self._cur_counter[0] += n
+    def _promote_fn(self, e_new: int, lc_wanted: bool | None):
+        """Compile-cached fused promotion program for an `e_new`-edge
+        slate: keyframe scatter + edge scatter + the keyframe event's
+        phase A (connection slate + LC scan/select) in ONE dispatch.
 
-    def _poll_pending(self, block: bool = False) -> None:
-        """Advance the deferred keyframe-event queue, HEAD event only.
+        The round-4 promotion frame paid separate dispatches for
+        add_keyframe, add_edges and phase A on the tracked frame's critical
+        path — each a tunnel round trip on a remote-attached chip (median
+        keyframe frame 456 ms vs 65 ms tracked, VERDICT r4 #2).
 
-        Each phase of `_kf_event_gen` dispatches device programs and yields
-        their un-fetched arrays; this advances to the next phase when those
-        arrays are READY (fetch then costs ~one tunnel round trip, no device
-        wait), so tracked frames interleave with the event instead of
-        blocking on it — the reference's background LC thread semantics
-        (`SLAM/SphereGraphSLAM.cpp:251-271` drains edges opportunistically).
-        `block=True` runs the whole queue to completion (drain)."""
-        if self._deterministic_polls and not block:
-            # fixed schedule (see __init__): one phase per poll, no
-            # readiness checks — identical on every process
-            if self._pending:
-                self._advance_head()
-            return
-        while self._pending:
-            gen, waits, counter = self._pending[0]
-            if waits and not block and not all(w.is_ready() for w in waits):
-                return
-            self._advance_head()
+        `lc_wanted=None` compiles the scatter-only variant (no phase A):
+        used when earlier keyframe events are still pending, where a
+        promotion-time phase A would read areas/optimized poses those
+        events have not applied yet — the head-only event ordering
+        guarantees phase A always sees its predecessors' effects."""
+        key = (e_new, lc_wanted)
+        cache = getattr(self, "_promote_jits", None)
+        if cache is None:
+            cache = self._promote_jits = {}
+        if key in cache:
+            return cache[key]
+        from dataclasses import replace as _replace
 
-    def _advance_head(self) -> None:
-        """Resume the head event's generator one phase (fetches inside it
-        block until their arrays are ready), attributing its dispatches to
-        its own counter."""
-        gen, waits, counter = self._pending[0]
-        saved = self._cur_counter
-        self._cur_counter = counter
-        try:
-            try:
-                waits = jax.tree_util.tree_leaves(next(gen))
-                self._pending[0] = (gen, waits, counter)
-            except StopIteration:
-                self._pending.popleft()
-        finally:
-            self._cur_counter = saved
+        lc = self.loop_closer
+        lc_cfg = self.config.lc
+        kf_cfg = self.config.kf
 
-    def _drain_pending(self) -> None:
-        """Run any deferred keyframe event to completion (map readers and
-        the next keyframe event need the fully-applied map)."""
-        self._poll_pending(block=True)
+        def impl(m, pose, gray, depth, planes, area_id, prev_kf,
+                 rels, infos, ssos, lcs):
+            k = m.n_kf
+            set_plane = jax.tree_util.tree_map(
+                lambda a, b: a.at[k].set(b.astype(a.dtype)), m.planes, planes
+            )
+            eidx = m.n_edges + jnp.arange(e_new)
+            pk = jnp.full((e_new,), prev_kf, jnp.int32)
+            kk = jnp.full((e_new,), k, jnp.int32)
+            g = m.graph
+            m = _replace(
+                m,
+                n_kf=k + 1,
+                poses=m.poses.at[k].set(pose),
+                opt_poses=m.opt_poses.at[k].set(pose),
+                gray=m.gray.at[k].set(gray.astype(jnp.bfloat16)),
+                depth=m.depth.at[k].set(depth.astype(jnp.bfloat16)),
+                planes=set_plane,
+                graph=_replace(
+                    g,
+                    poses=g.poses.at[k].set(pose),
+                    vmask=g.vmask.at[k].set(True),
+                    edges_ij=g.edges_ij.at[eidx].set(
+                        jnp.stack([pk, kk], axis=1)
+                    ),
+                    rel=g.rel.at[eidx].set(rels),
+                    info=g.info.at[eidx].set(infos),
+                    emask=g.emask.at[eidx].set(True),
+                ),
+                n_edges=m.n_edges + e_new,
+                edge_is_lc=m.edge_is_lc.at[eidx].set(lcs),
+                sso=m.sso.at[pk, kk].set(ssos).at[kk, pk].set(ssos),
+                area=m.area.at[k].set(area_id),
+            )
+            if lc_wanted is None:  # scatter-only variant
+                return m
+            conn = KeyframeSLAM._connection_kernel(
+                m.opt_poses, m.n_kf, m.area, m.n_areas,
+                m.graph.edges_ij, m.graph.emask, k,
+                jnp.float32(kf_cfg.connection_radius),
+            )
+            scan = None
+            if lc_wanted:
+                scan = lc._scan_select_impl(
+                    planes, m.planes, m.opt_poses, m.n_kf, m.area,
+                    m.n_areas, m.sso, m.graph.edges_ij, m.graph.emask,
+                    pose, k, jnp.asarray(2),
+                    jnp.asarray(lc_cfg.search_radius),
+                    jnp.asarray(lc_cfg.min_matches),
+                    jnp.asarray(lc_cfg.min_area),
+                    area_gating=bool(lc_cfg.area_gating),
+                    k=lc_cfg.max_dense_checks,
+                )
+            return m, conn, scan
 
-    def flush(self) -> None:
-        """Public drain: call before reading `map`, `optimized_trajectory`
-        or exporting — applies any still-deferred keyframe-event work."""
-        self._drain_pending()
+        cache[key] = jax.jit(impl)
+        return cache[key]
+
+    def _promote(self, state: FrameState, pose: np.ndarray, prev_kf: int,
+                 edges: list[tuple], ev: dict) -> tuple[int, bool]:
+        """Promote `state` as a new keyframe with its (prev_kf -> k) edge
+        slate AND dispatch the keyframe event's phase A in the SAME device
+        program, then enqueue the deferred event starting at phase B.
+        `edges`: list of (rel, info, sso, is_loop).  Returns (k, optimized)
+        — `optimized` only meaningful in synchronous mode (see
+        `_post_keyframe`)."""
+        if self.mesh is not None:
+            # sharded path: phase A runs collective programs dispatched by
+            # the generator itself — keep the split (unfused) pipeline
+            k = self._add_keyframe(state, pose)
+            ev["keyframe"] = True
+            self._add_edges([(prev_kf, k, r, i, s, l) for r, i, s, l in edges])
+            return k, self._post_keyframe(state, k, ev)
+        self._event_backpressure()
+        self._cur_counter = [0]
+        k = self._n_kf_host
+        e_new = len(edges)
+        # capacity growth must happen OUTSIDE the fixed-shape fused program
+        while k >= self.map.poses.shape[0]:
+            self.map = self.map.grow(kf_capacity=2 * self.map.poses.shape[0])
+        while self._n_edges_host + e_new > self.map.graph.edges_ij.shape[0]:
+            self.map = self.map.grow(
+                edge_capacity=2 * self.map.graph.edges_ij.shape[0]
+            )
+        area_id = self._area_host[prev_kf] if prev_kf >= 0 else 0
+        # Phase A fuses into the promotion dispatch ONLY when no earlier
+        # event is pending: head-only ordering guarantees every event's
+        # phase A observes its predecessors' applied effects (partitions,
+        # optimized poses); a promotion-time dispatch would not.  With
+        # pending events the program is scatter-only and the generator
+        # dispatches phase A when it reaches the head (round-4 behavior).
+        fuse_phase_a = len(self._pending) == 0
+        # LC needs non-recent candidates (excl=2)
+        lc_wanted = ((k + 1) > 3) if fuse_phase_a else None
+        fn = self._promote_fn(e_new, lc_wanted)
+        out = fn(
+            self.map,
+            jnp.asarray(pose, jnp.float32),
+            state.sphere.sphere_gray,
+            state.sphere.sphere_depth,
+            state.planes,
+            jnp.int32(area_id),
+            jnp.int32(prev_kf),
+            jnp.asarray(
+                np.stack([np.asarray(e[0]) for e in edges]), jnp.float32
+            ),
+            jnp.asarray(
+                np.stack([np.asarray(e[1]) for e in edges]), jnp.float32
+            ),
+            jnp.asarray([float(e[2]) for e in edges], jnp.float32),
+            jnp.asarray([bool(e[3]) for e in edges]),
+        )
+        if fuse_phase_a:
+            self.map, conn, scan = out
+            pre = (conn, scan)
+        else:
+            self.map = out
+            pre = None
+        self._nd()
+        # host mirrors — identical bookkeeping to _add_keyframe/_add_edges
+        self._area_host.append(area_id)
+        self._n_kf_host = k + 1
+        self.current_kf = k
+        self.kf_state = state
+        if self._opt_poses_host is not None and k < len(self._opt_poses_host):
+            self._opt_poses_host[k] = np.asarray(pose)
+        else:
+            self._opt_poses_host = None
+        self._kf_pyr_cache[k] = state.pyramid
+        self.track_rel = np.eye(4)
+        self._last_frame = None
+        self._n_edges_host += e_new
+        self._edge_set.add((int(prev_kf), k))
+        ev["keyframe"] = True
+        return k, self._post_keyframe(state, k, ev, pre=pre)
 
     # --------------------------------------------------- checkpoint/resume
 
@@ -1044,26 +1230,42 @@ class KeyframeSLAM(TrackerBase):
             and float(np.linalg.norm(lf["rel"][:3, 3])) >= kf_cfg.min_dist_keyframes
         ):
             prev_kf = self.current_kf
-            k = self._add_keyframe(lf["state"], kf_pose @ lf["rel"])
-            ev["keyframe"] = True
-            self._add_edge(
+            # T_newKF<-frame composed from two already-fetched healthy
+            # solves (lf's and this frame's) — the re-track seed
+            seed = np.linalg.inv(lf["rel"]) @ rel
+            k, _ = self._promote(
+                lf["state"],
+                kf_pose @ lf["rel"],
                 prev_kf,
-                k,
-                jnp.asarray(lf["rel"]),
-                jnp.asarray(lf["hessian"]),
-                sso=lf["sso"],
+                [(lf["rel"], lf["hessian"], lf["sso"], False)],
+                ev,
             )
-            self._post_keyframe(lf["state"], k, ev)
             if lf["state"] is state:
                 # the current frame itself was the healthy candidate
                 # (rotation-triggered promotion): it IS the new keyframe
                 self.pose = self._opt_pose(k)
                 self.track_rel = np.eye(4)
                 return self._emit(ev)
-            # re-track the current frame against the new KF, seeded by the
-            # current estimate mapped into the new KF's frame
             kf_pose = self._opt_pose(k)
-            seed = np.linalg.inv(lf["rel"]) @ rel
+            # Common case (round 5): the composed pose sits comfortably
+            # inside the keyframe thresholds — REUSE it instead of paying a
+            # synchronous re-track dispatch+fetch against the new keyframe
+            # (round-4 measured: that align was most of the promotion
+            # frame's 456 ms block).  The next frame's fused track against
+            # the new KF — seeded by exactly this composition — measures
+            # the alignment; a bad composition surfaces there one frame
+            # later, the same staleness the reference tolerates (its
+            # promotion never re-tracks at all, `KFsphere_SLAM.cpp:593`).
+            if (
+                float(np.linalg.norm(seed[:3, 3])) < kf_cfg.min_dist_keyframes
+                and rotation_angle_np(seed) < kf_cfg.max_rotation_keyframes
+            ):
+                self.pose = kf_pose @ seed
+                self.track_rel = seed.copy()  # frame-to-frame step unchanged
+                return self._emit(ev)
+            # rare: the frame is already beyond the keyframe thresholds vs
+            # the FRESH keyframe — run the measured re-track (it may fall
+            # through to promoting this frame too)
             with self.timer.region("register_dense"):
                 res = fetch(
                     self.align_with_fallback(
@@ -1103,26 +1305,20 @@ class KeyframeSLAM(TrackerBase):
             pb = None
 
         prev_kf = self.current_kf
-        k = self._add_keyframe(state, self.pose)
-        ev["keyframe"] = True
         # dense odometry edge (T_prev<-new); info = dense Hessian — plus a
-        # consistent PbMap edge when available (reference :547-554); one
-        # batched update covers both
-        promo_edges = [
-            (prev_kf, k, rel, np.asarray(res.hessian), float(res.sso), False)
-        ]
+        # consistent PbMap edge when available (reference :547-554); the
+        # fused promotion program covers the keyframe + the whole slate
+        promo_edges = [(rel, np.asarray(res.hessian), float(res.sso), False)]
         if pb is not None and bool(pb.success):
             dpb = np.asarray(pb.pose)
             dt = np.linalg.norm(dpb[:3, 3] - rel[:3, 3])
             dr = rotation_angle_np(dpb[:3, :3].T @ rel[:3, :3])
             if dt < 0.1 and dr < np.deg2rad(5):
                 promo_edges.append(
-                    (prev_kf, k, dpb, np.asarray(pb.information),
-                     float(res.sso), False)
+                    (dpb, np.asarray(pb.information), float(res.sso), False)
                 )
-        self._add_edges(promo_edges)
-
-        if self._post_keyframe(state, k, ev):
+        k, optimized = self._promote(state, self.pose, prev_kf, promo_edges, ev)
+        if optimized:
             self.pose = self._opt_pose(k)
         return self._emit(ev)
 
@@ -1153,7 +1349,9 @@ class KeyframeSLAM(TrackerBase):
         )
         return top_i, top_s > -jnp.inf, seeds
 
-    def _post_keyframe(self, state: FrameState, k: int, ev: dict) -> bool:
+    def _post_keyframe(
+        self, state: FrameState, k: int, ev: dict, pre=None
+    ) -> bool:
         """Per-new-keyframe map work: neighbor connections, loop-closure
         search, pose-graph optimization, topological partitioning.
 
@@ -1166,8 +1364,10 @@ class KeyframeSLAM(TrackerBase):
         returns True when optimization ran (the caller refreshes poses read
         from the map afterwards); async always returns False — optimized
         poses apply on a later frame, exactly the staleness the reference
-        tolerates (`SLAM/SphereGraphSLAM.cpp:251-271`)."""
-        gen = self._kf_event_gen(state, k, ev)
+        tolerates (`SLAM/SphereGraphSLAM.cpp:251-271`).  `pre`: phase-A
+        device arrays already dispatched by the fused promotion program —
+        the generator then starts at phase B."""
+        gen = self._kf_event_gen(state, k, ev, pre=pre)
         self._pending.append((gen, None, self._cur_counter))
         if self.config.kf.async_kf_events:
             self._poll_pending()
@@ -1209,11 +1409,13 @@ class KeyframeSLAM(TrackerBase):
             self.map, query_planes, jnp.asarray(k), jnp.asarray(kf_pose)
         )
 
-    def _kf_event_gen(self, state: FrameState, k: int, ev: dict):
+    def _kf_event_gen(self, state: FrameState, k: int, ev: dict, pre=None):
         """Keyframe-event pipeline as a generator: each `yield` hands the
         un-fetched device arrays the next phase needs to `_poll_pending`,
         which resumes the generator once they are ready (or immediately when
-        draining).  One code path serves both sync and async modes."""
+        draining).  One code path serves both sync and async modes.  With
+        `pre` the fused promotion program already dispatched phase A and the
+        generator starts at phase B."""
         kf_cfg = self.config.kf
 
         # ---- phase A: dispatch connection-candidate selection + LC scan.
@@ -1221,32 +1423,35 @@ class KeyframeSLAM(TrackerBase):
         # topological area (reference KFsphere_SLAM.cpp:405-461, 2.5 m,
         # residual < 1.8); area membership bounds the pool independent of
         # map size; selection runs on device, pulls back a fixed slate.
-        kf_pose = self._opt_pose(k)
-        lc_wanted = self._n_kf_host > 3  # LC needs non-recent cands (excl=2)
-        if self.mesh is None and lc_wanted:
-            # single-device: connection slate + LC scan/select fused into
-            # ONE program — one dispatch instead of two (VERDICT r3 #4)
-            conn, scan = self._phase_a_fused(state.planes, k, kf_pose)
-            self._nd()
+        if pre is not None:
+            conn, scan = pre
         else:
-            conn = self._connection_kernel(
-                self.map.opt_poses,
-                self.map.n_kf,
-                self.map.area,
-                self.map.n_areas,
-                self.map.graph.edges_ij,
-                self.map.graph.emask,
-                jnp.asarray(k),
-                jnp.asarray(kf_cfg.connection_radius),
-            )
-            self._nd()
-            scan = None
-            if lc_wanted:
-                with self.timer.region("loop_closure"):
-                    scan = self.loop_closer.scan_dispatch(
-                        self.map, state.planes, jnp.asarray(kf_pose), k
-                    )
+            kf_pose = self._opt_pose(k)
+            lc_wanted = self._n_kf_host > 3  # LC needs non-recent cands
+            if self.mesh is None and lc_wanted:
+                # single-device: connection slate + LC scan/select fused
+                # into ONE program — one dispatch instead of two
+                conn, scan = self._phase_a_fused(state.planes, k, kf_pose)
                 self._nd()
+            else:
+                conn = self._connection_kernel(
+                    self.map.opt_poses,
+                    self.map.n_kf,
+                    self.map.area,
+                    self.map.n_areas,
+                    self.map.graph.edges_ij,
+                    self.map.graph.emask,
+                    jnp.asarray(k),
+                    jnp.asarray(kf_cfg.connection_radius),
+                )
+                self._nd()
+                scan = None
+                if lc_wanted:
+                    with self.timer.region("loop_closure"):
+                        scan = self.loop_closer.scan_dispatch(
+                            self.map, state.planes, jnp.asarray(kf_pose), k
+                        )
+                    self._nd()
         yield (conn, scan)
 
         # ---- phase B: host-filter both slates (ONE combined fetch round

@@ -5,6 +5,18 @@ against up to `track_depth` recent keyframes (reference `:175-244` tries up
 to 5 previous KFs before declaring loss), every successfully tracked frame
 joins the map as a keyframe with an SSO entry, loop closures come from the
 batched LoopCloser, and the topological partitioner runs periodically.
+
+This is the reference app that OWNS the background loop-closure thread
+(`SLAM/SphereGraphSLAM.cpp:141` starts it; `include/LoopClosure360.h:93,108`
+is its loop; `:251-271` of the app drains its edges opportunistically).
+Round 5: the driver now runs its LC search + pose-graph optimize +
+partition through the SAME deferred keyframe-event engine as
+`KeyframeSLAM` (`TrackerBase._poll_pending` head-only FIFO): with
+`kf.async_kf_events` (default) a keyframe frame only DISPATCHES the LC
+scan; verification, edge insertion, optimization and partitioning drain
+over later frames — tracking never waits on the "thread".  Synchronous
+mode drains inline (the pre-round-5 behavior), and the two are
+equivalence-tested (`tests/test_slam.py::test_pbmap_async_matches_sync`).
 """
 
 from __future__ import annotations
@@ -19,7 +31,7 @@ from rgbd360_tpu.registration.planes import PLANAR_ODOMETRY_3DOF
 from rgbd360_tpu.slam.graph import optimize_pose_graph
 from rgbd360_tpu.slam.loop_closure import LoopCloser
 from rgbd360_tpu.slam.map import Map360
-from rgbd360_tpu.slam.odometry import TrackerBase, is_motion_continuous
+from rgbd360_tpu.slam.odometry import TrackerBase, fetch, is_motion_continuous
 from rgbd360_tpu.slam.topological import partition_map
 
 
@@ -43,21 +55,53 @@ class PbMapGraphSLAM(TrackerBase):
         self.loop_closer = LoopCloser(cfg)
         self.trajectory: list[np.ndarray] = []
         self.no_assoc = 0
+        self.n_loop_closures = 0
         self.events: list[dict] = []
+        # host mirrors (same rationale as KeyframeSLAM: every
+        # `int(map.n_kf)` / pose read is a blocking device fetch that also
+        # synchronizes on all queued event programs)
+        self._n_kf_host = 0
+        self._n_edges_host = 0
+        self._opt_poses_host: np.ndarray | None = None
+        self._kf_pyr_cache: dict = {}
+
+    def _opt_pose(self, k: int) -> np.ndarray:
+        if self._opt_poses_host is None:
+            self._opt_poses_host = np.array(self.map.opt_poses)
+        return self._opt_poses_host[k]
+
+    def _add_kf(self, state, pose: np.ndarray) -> int:
+        k = self._n_kf_host
+        self.map = self.map.add_keyframe(
+            jnp.asarray(pose),
+            state.sphere.sphere_gray,
+            state.sphere.sphere_depth,
+            state.planes,
+            n_live=k,
+        )
+        self._nd()
+        self._n_kf_host = k + 1
+        if self._opt_poses_host is not None and k < len(self._opt_poses_host):
+            self._opt_poses_host[k] = np.asarray(pose)
+        else:
+            self._opt_poses_host = None
+        self._kf_pyr_cache[k] = state.pyramid
+        return k
 
     def process(self, raw) -> dict:
         return self.process_state(self.make_state(raw))
 
     def process_state(self, state) -> dict:
+        """One frame.  DEFERRED-COMPLETION SEMANTICS (async mode, default):
+        the returned event dict's `loop_closures`/`chi2`/`optimized` fields
+        are filled in on later frames as the deferred event's phases
+        complete (and by `flush()`); read the aggregate
+        `self.n_loop_closures` for always-current totals."""
         ev = {"keyframe": False, "tracked": False, "loop_closures": 0}
-        n_kf = int(self.map.n_kf)
+        self._poll_pending()
+        n_kf = self._n_kf_host
         if n_kf == 0:
-            self.map = self.map.add_keyframe(
-                jnp.eye(4),
-                state.sphere.sphere_gray,
-                state.sphere.sphere_depth,
-                state.planes,
-            )
+            self._add_kf(state, np.eye(4))
             self.trajectory.append(np.eye(4))
             ev.update(keyframe=True, tracked=True)
             self.events.append(ev)
@@ -92,57 +136,152 @@ class PbMapGraphSLAM(TrackerBase):
             return ev
 
         ref_kf, pb, rel = matched
-        pose = np.asarray(self.map.opt_poses[ref_kf]) @ rel
-        k = int(self.map.n_kf)
-        self.map = self.map.add_keyframe(
-            jnp.asarray(pose),
-            state.sphere.sphere_gray,
-            state.sphere.sphere_depth,
-            state.planes,
-        )
+        pose = self._opt_pose(ref_kf) @ rel
+        self._event_backpressure()
+        self._cur_counter = [0]
+        k = self._add_kf(state, pose)
         sso = float(pb.area_matched) / max(
             float(jnp.sum(jnp.where(state.planes.valid, state.planes.area, 0.0))),
             1e-6,
         )
         self.map = self.map.add_edge(
-            ref_kf, k, jnp.asarray(rel), jnp.asarray(pb.information), sso=min(sso, 1.0)
+            ref_kf, k, jnp.asarray(rel), jnp.asarray(pb.information),
+            sso=min(sso, 1.0), n_live=self._n_edges_host,
         )
+        self._nd()
+        self._n_edges_host += 1
         ev.update(keyframe=True, tracked=True, ref_kf=ref_kf, matches=int(pb.n_matches))
 
-        lcs = self.loop_closer.search(
-            self.map,
-            state.planes,
-            state.sphere.sphere_gray,
-            state.sphere.sphere_depth,
-            jnp.asarray(pose),
-            k,
+        gen = self._kf_event_gen(
+            state, k, np.asarray(pose), ev, n_edges_snapshot=self._n_edges_host
         )
-        for lc in lcs:
-            self.map = self.map.add_edge(
-                lc.kf_from, lc.kf_to, jnp.asarray(lc.rel), jnp.asarray(lc.info),
-                sso=lc.sso, is_loop=True,
+        self._pending.append((gen, None, self._cur_counter))
+        if self.config.kf.async_kf_events:
+            self._poll_pending()
+        else:
+            self._drain_pending()
+            if ev.get("optimized"):
+                pose = self._opt_pose(k)
+
+        self.trajectory.append(np.asarray(pose))
+        self.events.append(ev)
+        return ev
+
+    def _kf_event_gen(
+        self, state, k: int, kf_pose: np.ndarray, ev: dict,
+        n_edges_snapshot: int | None = None,
+    ):
+        """The SphereGraphSLAM keyframe event: LC scan -> verify -> edges ->
+        optimize -> partition, as a phased generator on the shared deferred
+        engine (the reference's LC thread body, `LoopClosure360.h:108-366` +
+        the app's inline optimize).  The snapshot caps pin the scan to the
+        map state the event was created against, so the deferred scan
+        matches the synchronous one exactly (see `scan_dispatch`)."""
+        lc = self.loop_closer
+
+        # ---- phase A: dispatch the LC candidate scan (device-side gate +
+        # batched plane match + top-k select, one program)
+        scan = None
+        # event-indexed condition (k is fixed at creation; _n_kf_host would
+        # have advanced by the time a deferred generator body runs)
+        if k + 1 > 3:  # scan excludes the 2 most recent KFs
+            scan = lc.scan_dispatch(
+                self.map, state.planes, jnp.asarray(kf_pose), k,
+                n_kf_snapshot=k + 1, n_edges_snapshot=n_edges_snapshot,
             )
-        ev["loop_closures"] = len(lcs)
+            self._nd()
+        yield (scan,)
+
+        # ---- phase B: host-filter candidates; dispatch batched dense
+        # verification
+        lc_cand: list = []
+        lc_pose: dict = {}
+        verify_res = cand_pyrs = None
+        if scan is not None:
+            scan_f = fetch(scan)
+            lc_cand, lc_pose = lc.select_host(scan_f)
+            if lc_cand:
+                verify_res, cand_pyrs = lc.verify_dispatch(
+                    self.map, state.pyramid, lc_cand, lc_pose,
+                    self._kf_pyr_cache,
+                )
+                self._nd()
+        yield (verify_res,)
+
+        # ---- phase C: gate, rescue yaw-aliased seeds, add accepted edges
+        lcs = []
+        failures = []
+        if verify_res is not None:
+            vf = fetch(verify_res)
+            for i, kf in enumerate(lc_cand):
+                res = jax.tree_util.tree_map(lambda a: a[i], vf)
+                if lc.gates_ok(res, None):
+                    lcs.append(lc.accept(res, kf, k))
+                else:
+                    failures.append((i, kf))
+        for i, kf in failures:
+            kf_pyr = cand_pyrs[i]
+            coarse = lc.rescue_coarse_dispatch(state.pyramid, kf_pyr, lc_pose[kf])
+            self._nd()
+            yield (coarse,)
+            refined, errs = fetch(coarse)
+            res_r = lc.rescue_align_dispatch(state.pyramid, kf_pyr, refined, errs)
+            self._nd()
+            yield (res_r,)
+            res_r = fetch(res_r)
+            if lc.gates_ok(res_r, None):
+                lcs.append(lc.accept(res_r, kf, k))
+        for lc_ in lcs:
+            self.map = self.map.add_edge(
+                lc_.kf_from, lc_.kf_to, jnp.asarray(lc_.rel),
+                jnp.asarray(lc_.info), sso=lc_.sso, is_loop=True,
+                n_live=self._n_edges_host,
+            )
+            self._nd()
+            self._n_edges_host += 1
+        ev["loop_closures"] = ev.get("loop_closures", 0) + len(lcs)
+        self.n_loop_closures += len(lcs)
+
+        # ---- phase D: optimize on new loop closures; periodic partition
+        partition_due = (k + 1) % self.config.map.partition_every_n_kf == 0
+        sso_f = None
         if lcs:
             g = self.config.graph
+            n0 = self._n_kf_host  # keyframes the dispatched solve covers
             poses, chi2, _ = optimize_pose_graph(
                 self.map.graph, g.max_iters, g.lm_lambda0, g.lm_step,
                 loop_mask=self.map.edge_is_lc if g.robust_lc else None,
                 dcs_phi=g.dcs_phi,
             )
+            self._nd()
+            yield (poses, chi2)
+            if partition_due:  # one combined fetch round trip
+                chi2_f, sso_f = fetch((chi2, self.map.sso))
+            else:
+                chi2_f = float(chi2)
+            # prefix-safe application: keyframes promoted while the solve
+            # was in flight occupy later slots the solve never covered
+            if self._n_kf_host > n0:
+                poses = self.map.opt_poses.at[:n0].set(poses[:n0])
+                self._nd()
             self.map = self.map.with_optimized(poses)
-            pose = np.asarray(self.map.opt_poses[k])
-
-        if int(self.map.n_kf) % self.config.map.partition_every_n_kf == 0:
+            self._opt_poses_host = None
+            ev["chi2"] = float(chi2_f)
+            ev["optimized"] = True
+        elif partition_due:
+            yield (self.map.sso,)
+            sso_f = fetch(self.map.sso)
+        if partition_due:
             from dataclasses import replace as _replace
 
             area, n_areas = partition_map(
-                self.map, self.config.map.sso_partition_threshold
+                self.map,
+                self.config.map.sso_partition_threshold,
+                sso=sso_f,
+                n_kf=self._n_kf_host,
             )
             self.map = _replace(
                 self.map, area=jnp.asarray(area), n_areas=jnp.int32(n_areas)
             )
-
-        self.trajectory.append(pose)
-        self.events.append(ev)
-        return ev
+        ev["kf_dispatches"] = self._cur_counter[0]
+        self.kf_event_dispatches.append(self._cur_counter[0])

@@ -89,6 +89,7 @@ _SLOW_TESTS = {
     "tests/test_planes.py::TestSegmentation::test_merge_duplicates",
     "tests/test_slam.py::TestPCGGraph::test_large_graph_converges",
     "tests/test_slam.py::TestPbMapGraphSLAM::test_two_frames",
+    "tests/test_slam.py::TestPbMapGraphSLAM::test_pbmap_async_matches_sync",
     "tests/test_slam.py::TestPoseGraph::test_ring_closes",
     "tests/test_slam.py::TestRealSLAM::test_two_frame_slam",
     # depends on the class-scoped tracker populated by test_two_frame_slam

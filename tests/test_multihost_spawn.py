@@ -144,15 +144,39 @@ frames = [_box_room_sphere(32, 192, np.array([0.04 * i, 0.0, 0.02 * i]))
 
 # the PRODUCTION tracker over the CROSS-PROCESS mesh: KF-sharded LC scans +
 # edge/vertex-sharded distributed pose-graph PCG inside the per-frame loop
+import time
 sharded = KeyframeSLAM(FrameBuilder(calib), cfg, mesh=mesh)
+frame_ms, pending_after = [], []
 for g, d in frames:
-    sharded.process_state(sharded.make_state_from_sphere(g, d))
+    st = sharded.make_state_from_sphere(g, d)
+    t0 = time.time()
+    sharded.process_state(st)
+    frame_ms.append((time.time() - t0) * 1e3)
+    pending_after.append(len(sharded._pending))
 assert not sharded.lost
+# CROSS-PROCESS OVERLAP (round-4 verdict #6): with the deterministic poll
+# CADENCE (KeyframeConfig.det_poll_cadence) events must stay IN FLIGHT
+# across frame boundaries on both processes (the round-4 every-poll
+# schedule re-serialized the pipeline: each poll blocked on a phase fetch,
+# so events rarely outlived their frame), without any SPMD divergence —
+# both processes must observe the IDENTICAL pending-queue schedule.
+n_overlap = sum(1 for p in pending_after if p > 0)
+assert n_overlap >= 1, f"no event overlapped a frame boundary: {pending_after}"
+assert multihost.all_hosts_agree(float(sum(pending_after))), \
+    "pending-queue schedule diverged across processes"
+# frames that ran with an event in flight must stay bounded relative to
+# the run's own median (generous bound: the whole point is that tracking
+# does not absorb a full event drain; timing on a loaded CI host is noisy)
+med = sorted(frame_ms)[len(frame_ms) // 2]
+inflight = [t for t, p in zip(frame_ms, pending_after) if p > 0]
+assert max(inflight) < 25 * med + 500, (frame_ms, pending_after)
+sharded.flush()
 
 # reference: the same tracker unsharded, single-process
 single = KeyframeSLAM(FrameBuilder(calib), cfg)
 for g, d in frames:
     single.process_state(single.make_state_from_sphere(g, d))
+single.flush()
 
 a = np.stack(sharded.trajectory)
 b = np.stack(single.trajectory)
@@ -160,7 +184,8 @@ err = np.abs(a - b).max()
 assert err < 5e-3, f"sharded-vs-single trajectory disagreement {err}"
 assert int(sharded.map.n_kf) == int(single.map.n_kf)
 assert multihost.all_hosts_agree(float(a.sum())), "processes diverged"
-print(f"proc {pid} TRACKER OK kf={int(sharded.map.n_kf)} err={err:.2e}")
+print(f"proc {pid} TRACKER OK kf={int(sharded.map.n_kf)} err={err:.2e} "
+      f"overlap={n_overlap}/{len(frames)}")
 # explicit shutdown right after the final sync (see the psum worker note)
 jax.distributed.shutdown()
 """

@@ -85,3 +85,30 @@ def test_build_frame_pyramid_batch_matches_vmap(rng):
                 np.asarray(a), np.asarray(c), atol=1e-6,
                 err_msg=f"{field} level {lvl}",
             )
+
+
+def test_fused_level_down_bit_parity():
+    """Round-5 pyramid fusion: the channel-stacked level transition and the
+    stacked gradient pass must be BIT-identical to the split forms they
+    replace (same per-channel contraction order on the MXU)."""
+    rng = np.random.default_rng(11)
+    g = jnp.asarray(rng.uniform(0, 1, (320, 1920)).astype(np.float32))
+    d = jnp.asarray(
+        np.where(
+            rng.uniform(0, 1, (320, 1920)) > 0.2,
+            rng.uniform(0.5, 8, (320, 1920)),
+            0.0,
+        ).astype(np.float32)
+    )
+    g2a = P.pyr_down(g)
+    d2a = P.pyr_down_depth(d, 0.3, 20.0)
+    g2b, d2b = P.fused_level_down(g, d, 0.3, 20.0)
+    np.testing.assert_array_equal(np.asarray(g2a), np.asarray(g2b))
+    np.testing.assert_array_equal(np.asarray(d2a), np.asarray(d2b))
+    gx, gy = P.gradient_xy(g, allow_pallas=False)
+    hx, hy = P.gradient_xy(d, allow_pallas=False)
+    sx, sy = P.gradient_xy_multi(jnp.stack([g, d]))
+    np.testing.assert_array_equal(np.asarray(gx), np.asarray(sx[0]))
+    np.testing.assert_array_equal(np.asarray(hx), np.asarray(sx[1]))
+    np.testing.assert_array_equal(np.asarray(gy), np.asarray(sy[0]))
+    np.testing.assert_array_equal(np.asarray(hy), np.asarray(sy[1]))
