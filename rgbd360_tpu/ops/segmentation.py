@@ -93,15 +93,24 @@ def _box_band(n: int, k: int):
 
 
 def _box_blur(x: jnp.ndarray, k: int) -> jnp.ndarray:
-    """Separable box blur over the last two axes as banded MXU matmuls."""
+    """Separable box blur over the last two axes as banded MXU matmuls.
+
+    The contractions are written as einsums with every leading axis (sensor
+    vmap, channel, frame batch) flattened into ONE free dimension, so each
+    pass lowers to a single large matmul: the broadcast-batched
+    `matmul(a_h, x)` form emitted 8x4 small (120,120)@(120,160) MXU calls
+    per frame under the sensor vmap, and their per-kernel overhead — not
+    FLOPs — dominated the whole segmentation stage (measured 2.47 ms of the
+    3.8 ms stage, round 5; the restructured pass pair is one (H,H)@(H, B*W)
+    and one (B*H, W)@(W, W) matmul)."""
     if k <= 1:
         return x
     hi = jax.lax.Precision.HIGHEST
     h, w = x.shape[-2], x.shape[-1]
     a_h = jnp.asarray(_box_band(h, k))
     a_w = jnp.asarray(_box_band(w, k))
-    x = jnp.matmul(a_h, x, precision=hi)
-    return jnp.matmul(x, a_w.T, precision=hi)
+    x = jnp.einsum("ih,...hw->...iw", a_h, x, precision=hi)
+    return jnp.einsum("...hw,jw->...hj", x, a_w, precision=hi)
 
 
 def estimate_normals(
@@ -130,38 +139,42 @@ def estimate_normals(
     return jnp.where(valid[..., None] & (norm > 1e-9), n, 0.0)
 
 
-def _seg_scan_dir(lab, brk, axis, reverse):
-    """One-direction segmented min-scan via Hillis-Steele doubling with
-    `jnp.roll` shifts.  Mathematically identical to
-    `lax.associative_scan(combine, (lab, brk)))` with
+def _seg_min_scan(lab, r_fwd, r_bwd, axis):
+    """Min within each contiguous compatible run along `axis`, both
+    directions, in ONE Hillis-Steele doubling chain.
+
+    Each doubling step is mathematically identical to
+    `lax.associative_scan(combine, (lab, brk))` with
     combine((m1,r1),(m2,r2)) = (r2 ? m2 : min(m1,m2), r1|r2), but lowers to
     ~log2(n) fused elementwise kernels instead of associative_scan's
     pad/slice chains (which cost ~0.2 ms apiece on TPU and dominated the
-    labeling loop)."""
-    n = lab.shape[axis]
-    shape = [1] * lab.ndim
-    shape[axis] = n
+    labeling loop).
+
+    The backward scan of x equals the forward scan of flip(x), so the two
+    directions ride a single doubling loop stacked along a new leading axis:
+    the chain is the binding resource of this stage (sequential kernel
+    latency, docs/PERFORMANCE.md round 4-5), and stacking halves its length
+    for free — the kernels get 2x wider, which latency-bound shapes don't
+    notice."""
+    ax = axis % lab.ndim
+    n = lab.shape[ax]
+    sax = ax + 1  # scan axis after the direction-stack
+    v = jnp.stack([lab, jnp.flip(lab, ax)])
+    f = jnp.stack([r_fwd, jnp.flip(r_bwd, ax)])
+    shape = [1] * v.ndim
+    shape[sax] = n
     idx = jnp.arange(n).reshape(shape)
-    v, f = lab, brk
     d = 1
     while d < n:
-        s = -d if reverse else d
-        ok = (idx < n - d) if reverse else (idx >= d)
-        vp = jnp.roll(v, s, axis)
-        fp = jnp.roll(f, s, axis)
+        # ok-gating keeps jnp.roll's wrap-around from leaking values across
+        # the row edge (the edge break alone does not protect i < d reads)
+        ok = idx >= d
+        vp = jnp.roll(v, d, sax)
+        fp = jnp.roll(f, d, sax)
         v = jnp.where(ok & ~f, jnp.minimum(v, vp), v)
         f = jnp.where(ok, f | fp, f)
         d *= 2
-    return v
-
-
-def _seg_min_scan(lab, r_fwd, r_bwd, axis):
-    """Min within each contiguous compatible run along `axis`, both
-    directions (segmented min-scan; r_fwd/r_bwd are the precomputed
-    run-break masks for the forward/backward direction)."""
-    fwd = _seg_scan_dir(lab, r_fwd, axis, reverse=False)
-    bwd = _seg_scan_dir(lab, r_bwd, axis, reverse=True)
-    return jnp.minimum(fwd, bwd)
+    return jnp.minimum(v[0], jnp.flip(v[1], ax))
 
 
 def _connected_labels(compat_r, compat_c, valid, iters: int) -> jnp.ndarray:
